@@ -1,0 +1,283 @@
+"""The fused collision-avoidance environment: one arena = N robots, one step.
+
+This module is the TPU-native equivalent of the reference's entire L1+L2
+stack: the Stage simulator process (``stageros.cpp``), the per-robot ROS env
+clients (``stage_world1.py``/``stage_world2.py``/``circle_world.py``), and the
+per-step gather/scatter topology of the MPI loop (``ppo_stage1.py:65-119``).
+Publish/subscribe becomes returning arrays; the nondeterministic wall-clock
+coupling of the reference (one RL step spans a variable number of 10 Hz sim
+updates, ``stageros.cpp:819``) becomes an exact, reproducible
+``substeps x dt`` integration.
+
+``Env.step``/``Env.reset`` are pure functions over :class:`EnvState`; batch
+over arenas with ``jax.vmap`` and shard the arena axis over a device mesh.
+
+Step semantics (matching the reference step-for-step):
+  1. dead robots (stage-2 ``liveflag``, ``ppo_stage2.py:72-84``) act as
+     (v, w) = 0; live robots apply the clipped action;
+  2. diff-drive integration with stall-on-collision (physics.py);
+  3. reward & termination exactly as ``stage_world1.py:180-211`` and the
+     stage-2/circle variants (goal +15, crash -15, progress *2.5, spin
+     penalty, timeout);
+  4. episode resets *inside* the step: per-robot immediately (stage 1),
+     per-scenario-group (stage 2, ``model/utils.py:81-87``), or never
+     (circle eval) — replacing ``reset_pose``/``generate_goal_point``;
+  5. a single lidar pass at the post-reset poses serves both continuing
+     robots (newest history frame) and freshly reset robots (history filled
+     with the first scan 3x, like the initial ``deque([obs]*3)`` at
+     ``ppo_stage1.py:60``).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..worlds.spec import ResetMode, WorldSpec
+from . import lidar, physics, sampling
+
+# Action bounds [[v_min, w_min], [v_max, w_max]] (ppo_stage1.py:170).
+V_MIN, V_MAX = 0.0, 1.0
+W_MIN, W_MAX = -1.0, 1.0
+
+RESULT_RUNNING = 0
+RESULT_GOAL = 1
+RESULT_CRASH = 2
+RESULT_TIMEOUT = 3
+
+
+@struct.dataclass
+class EnvState:
+    pose: jnp.ndarray       # (N, 3) x, y, theta
+    speed: jnp.ndarray      # (N, 2) applied (v, w)
+    goal: jnp.ndarray       # (N, 2)
+    dist: jnp.ndarray       # (N,) distance to goal (the next step's "pre")
+    step: jnp.ndarray       # (N,) int32 in-episode step counter
+    dead: jnp.ndarray       # (N,) bool terminal-but-not-reset (stage2/circle)
+    scan_hist: jnp.ndarray  # (N, F, B) normalized lidar frames, newest last
+    ep_return: jnp.ndarray  # (N,) running episode reward
+    key: jnp.ndarray        # PRNG key
+
+
+@struct.dataclass
+class Obs:
+    scans: jnp.ndarray  # (N, F, B)
+    goal: jnp.ndarray   # (N, 2) goal in the robot body frame
+    speed: jnp.ndarray  # (N, 2)
+
+
+@struct.dataclass
+class StepInfo:
+    result: jnp.ndarray      # (N,) int32 result code for this step
+    valid: jnp.ndarray       # (N,) bool: transition usable for training
+    ep_return: jnp.ndarray   # (N,) episode return, emitted when done fires
+    reached: jnp.ndarray     # (N,) bool reached-goal event this step
+    crashed: jnp.ndarray     # (N,) bool crash event this step
+
+
+class Env:
+    """Pure-functional batched env for one :class:`WorldSpec`."""
+
+    def __init__(self, spec: WorldSpec):
+        self.spec = spec
+        self.n_robots = spec.n_robots
+        self.n_beams = spec.n_beams
+        self.frames = spec.laser_frames
+        self._local_dirs = jnp.asarray(
+            lidar.beam_directions_local(spec.n_beams, spec.fov))
+        self._seg_p = jnp.asarray(spec.seg_p)
+        self._seg_e = jnp.asarray(spec.seg_e)
+        self._seg_valid = jnp.asarray(spec.seg_valid)
+        if spec.init_pose_table is not None:
+            self._pose_table = jnp.asarray(spec.init_pose_table)
+            self._goal_table = jnp.asarray(spec.goal_table)
+        else:
+            self._pose_table = None
+            self._goal_table = None
+        if spec.group_id is not None:
+            gid = np.asarray(spec.group_id)
+            self._group_id = jnp.asarray(gid)
+            n_groups = int(gid.max()) + 1
+            self._group_member = jnp.asarray(
+                gid[None, :] == np.arange(n_groups)[:, None])  # (G, N)
+        else:
+            self._group_id = None
+            self._group_member = None
+
+    # ------------------------------------------------------------------
+    # observation helpers
+    # ------------------------------------------------------------------
+
+    def _scan_obs(self, pose):
+        """Normalized lidar frame: ranges/6 - 0.5 (stage_world1.py:140)."""
+        r = lidar.scan(pose, self._local_dirs, self._seg_p, self._seg_e,
+                       self._seg_valid, self.spec.robot_radius,
+                       self.spec.max_range)
+        return r / self.spec.max_range - 0.5
+
+    @staticmethod
+    def _local_goal(pose, goal):
+        """Goal in the body frame (stage_world1.py:155-160)."""
+        dx = goal[:, 0] - pose[:, 0]
+        dy = goal[:, 1] - pose[:, 1]
+        c, s = jnp.cos(pose[:, 2]), jnp.sin(pose[:, 2])
+        return jnp.stack([dx * c + dy * s, -dx * s + dy * c], axis=-1)
+
+    def _obs(self, state: EnvState) -> Obs:
+        return Obs(scans=state.scan_hist,
+                   goal=self._local_goal(state.pose, state.goal),
+                   speed=state.speed)
+
+    # ------------------------------------------------------------------
+    # resets
+    # ------------------------------------------------------------------
+
+    def _sample_pose_goal(self, key, cur_pose):
+        """Fresh (pose, goal) for every robot (applied under a mask).
+
+        cur_pose: (N, 3) current poses (the stage-2 corridor sampler's >=7 m
+        constraint is relative to the robot's current position).
+        """
+        spec = self.spec
+        n = self.n_robots
+        keys = jax.random.split(key, n)
+        if spec.reset_mode is ResetMode.RANDOM_DISC:
+            kp = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+            pose = jax.vmap(lambda k: sampling.stage1_pose(k, spec.spawn_radius))(kp[:, 0])
+            goal = jax.vmap(lambda k, p: sampling.stage1_goal(
+                k, p[:2], spec.spawn_radius, spec.goal_dist_min, spec.goal_dist_max))(
+                    kp[:, 1], pose)
+            return pose, goal
+        if spec.reset_mode is ResetMode.TABLES_THEN_CORRIDOR:
+            kp = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+            rpose = jax.vmap(sampling.corridor_pose)(kp[:, 0], cur_pose[:, :2])
+            rgoal = jax.vmap(sampling.corridor_goal)(kp[:, 1], rpose[:, :2])
+            fixed = jnp.arange(n) < spec.n_fixed
+            pose = jnp.where(fixed[:, None], self._pose_table, rpose)
+            goal = jnp.where(fixed[:, None], self._goal_table, rgoal)
+            return pose, goal
+        # FIXED_TABLES
+        return self._pose_table, self._goal_table
+
+    def _reset_dist(self, pose, goal):
+        """Initial "previous distance": true distance (stage 1,
+        stage_world1.py:171-177) or 0 (stage 2/circle, stage_world2.py:170)."""
+        if self.spec.dist_prev_zero_on_reset:
+            return jnp.zeros(self.n_robots)
+        return jnp.linalg.norm(goal - pose[:, :2], axis=-1)
+
+    def reset(self, key) -> tuple[EnvState, Obs]:
+        """Fresh arena: all robots at scenario/random start poses."""
+        key, k = jax.random.split(key)
+        n = self.n_robots
+        zeros_pose = jnp.zeros((n, 3))
+        pose, goal = self._sample_pose_goal(k, zeros_pose)
+        state = EnvState(
+            pose=pose,
+            speed=jnp.zeros((n, 2)),
+            goal=goal,
+            dist=self._reset_dist(pose, goal),
+            step=jnp.zeros(n, jnp.int32),
+            dead=jnp.zeros(n, bool),
+            scan_hist=jnp.zeros((n, self.frames, self.n_beams)),
+            ep_return=jnp.zeros(n),
+            key=key,
+        )
+        first = self._scan_obs(pose)
+        state = state.replace(
+            scan_hist=jnp.repeat(first[:, None, :], self.frames, axis=1))
+        return state, self._obs(state)
+
+    # ------------------------------------------------------------------
+    # step
+    # ------------------------------------------------------------------
+
+    def step(self, state: EnvState, action: jnp.ndarray
+             ) -> tuple[EnvState, Obs, jnp.ndarray, jnp.ndarray, StepInfo]:
+        """One control step for all robots of one arena.
+
+        action: (N, 2) raw policy samples; clipped here exactly like
+        ``model/ppo.py:75`` before execution.
+        Returns (state', obs', reward, done, info); ``done`` mirrors the
+        reference's gathered ``terminal_list`` (latched True while a stage-2
+        robot is dead).
+        """
+        spec = self.spec
+        key, k_reset = jax.random.split(state.key)
+
+        live = ~state.dead
+        v = jnp.clip(action[:, 0], V_MIN, V_MAX) * live
+        w = jnp.clip(action[:, 1], W_MIN, W_MAX) * live
+
+        pose, stalled = physics.step_with_stall(
+            state.pose, v, w, spec.dt, spec.substeps,
+            self._seg_p, self._seg_e, self._seg_valid, spec.robot_radius)
+
+        t = state.step + live.astype(jnp.int32)
+        dist_new = jnp.linalg.norm(state.goal - pose[:, :2], axis=-1)
+
+        # Reward (stage_world1.py:180-211); same formula for all workloads,
+        # parameterized by omega_thresh / timeout.
+        reached = dist_new < spec.goal_size
+        crashed = stalled
+        timeout = t > spec.timeout
+        reward_g = jnp.where(reached, 15.0, (state.dist - dist_new) * 2.5)
+        reward_c = jnp.where(crashed, -15.0, 0.0)
+        reward_w = jnp.where(jnp.abs(w) > spec.omega_thresh,
+                             -0.1 * jnp.abs(w), 0.0)
+        reward = (reward_g + reward_c + reward_w) * live
+
+        terminal = (reached | crashed | timeout) & live
+        result = jnp.where(
+            timeout, RESULT_TIMEOUT,
+            jnp.where(crashed, RESULT_CRASH,
+                      jnp.where(reached, RESULT_GOAL, RESULT_RUNNING)))
+        result = jnp.where(live, result, RESULT_RUNNING)
+
+        dead_after = state.dead | terminal
+        if spec.reset_mode is ResetMode.RANDOM_DISC:
+            reset_mask = terminal
+            dead_next = jnp.zeros_like(dead_after)
+        elif spec.reset_mode is ResetMode.TABLES_THEN_CORRIDOR:
+            # Group-synchronized episode boundaries (model/utils.py:81-87).
+            group_done = jnp.all(dead_after[None, :] | ~self._group_member,
+                                 axis=1)                      # (G,)
+            reset_mask = group_done[self._group_id]
+            dead_next = dead_after & ~reset_mask
+        else:  # FIXED_TABLES: eval, never reset
+            reset_mask = jnp.zeros_like(dead_after)
+            dead_next = dead_after
+
+        new_pose, new_goal = self._sample_pose_goal(k_reset, pose)
+        pose = jnp.where(reset_mask[:, None], new_pose, pose)
+        goal = jnp.where(reset_mask[:, None], new_goal, state.goal)
+        dist = jnp.where(reset_mask, self._reset_dist(pose, goal), dist_new)
+        step_ctr = jnp.where(reset_mask, 0, t)
+        speed = jnp.where(reset_mask[:, None] | state.dead[:, None],
+                          0.0, jnp.stack([v, w], axis=-1))
+
+        ep_return_now = state.ep_return + reward
+        ep_return = jnp.where(reset_mask, 0.0, ep_return_now)
+
+        # One lidar pass at post-reset poses (fresh robots fill history 3x).
+        scan = self._scan_obs(pose)
+        shifted = jnp.concatenate([state.scan_hist[:, 1:], scan[:, None]], axis=1)
+        filled = jnp.repeat(scan[:, None], self.frames, axis=1)
+        scan_hist = jnp.where(reset_mask[:, None, None], filled, shifted)
+
+        new_state = EnvState(pose=pose, speed=speed, goal=goal, dist=dist,
+                             step=step_ctr, dead=dead_next,
+                             scan_hist=scan_hist, ep_return=ep_return,
+                             key=key)
+        done = state.dead | terminal
+        info = StepInfo(result=result, valid=live,
+                        ep_return=jnp.where(terminal, ep_return_now, 0.0),
+                        reached=reached & live, crashed=crashed & live)
+        return new_state, self._obs(new_state), reward, done, info
+
+
+def make_env(spec: WorldSpec) -> Env:
+    return Env(spec)

@@ -1,0 +1,68 @@
+"""Differential-drive kinematics and collision (stall) detection.
+
+Replaces libstage's ``drive "diff"`` integration and ``Stalled()`` collision
+flag (published as ``is_crashed`` by ``stageros.cpp:560-564``).  Robots are
+modeled as discs of radius ``robot_radius`` approximating the reference's
+0.44 x 0.38 m footprint (``worlds/stage1.world:83``).
+
+Stall semantics: Stage prevents penetration — a robot whose motion would
+collide does not move and raises its stall flag.  Here a colliding candidate
+pose reverts to the previous pose (translation and rotation), branchlessly
+via ``jnp.where``.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def integrate(pose: jnp.ndarray, v: jnp.ndarray, w: jnp.ndarray,
+              dt: float, substeps: int = 1) -> jnp.ndarray:
+    """Kinematic diff-drive update; (N,3) pose, (N,) v forward, (N,) w yaw.
+
+    Each substep translates along the current heading then rotates, mirroring
+    Stage's per-update velocity integration at its discrete sim interval.
+    """
+    h = dt / substeps
+    for _ in range(substeps):
+        x, y, th = pose[:, 0], pose[:, 1], pose[:, 2]
+        x = x + v * jnp.cos(th) * h
+        y = y + v * jnp.sin(th) * h
+        th = th + w * h
+        pose = jnp.stack([x, y, th], axis=-1)
+    return pose
+
+
+def wall_collision(pos: jnp.ndarray, seg_p: jnp.ndarray, seg_e: jnp.ndarray,
+                   seg_valid: jnp.ndarray, radius: float) -> jnp.ndarray:
+    """(N,) bool: does the disc at ``pos`` overlap any static segment?"""
+    po = pos[:, None, :] - seg_p[None, :, :]                        # (N,S,2)
+    ee = jnp.sum(seg_e * seg_e, axis=-1)                            # (S,)
+    tt = jnp.sum(po * seg_e[None, :, :], axis=-1) / jnp.maximum(ee, 1e-12)
+    tt = jnp.clip(tt, 0.0, 1.0)
+    closest = seg_p[None, :, :] + tt[:, :, None] * seg_e[None, :, :]
+    d2 = jnp.sum((pos[:, None, :] - closest) ** 2, axis=-1)         # (N,S)
+    hit = (d2 < radius * radius) & seg_valid[None, :]
+    return jnp.any(hit, axis=-1)
+
+
+def robot_collision(pos: jnp.ndarray, radius: float) -> jnp.ndarray:
+    """(N,) bool: pairwise disc overlap (diameter threshold), self excluded."""
+    diff = pos[:, None, :] - pos[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    n = pos.shape[0]
+    overlap = (d2 < (2.0 * radius) ** 2) & ~jnp.eye(n, dtype=bool)
+    return jnp.any(overlap, axis=-1)
+
+
+def step_with_stall(pose, v, w, dt, substeps, seg_p, seg_e, seg_valid, radius):
+    """Integrate and stall-resolve one control step.
+
+    Returns (new_pose, stalled).  Stalled robots keep their previous pose —
+    the positional part of Stage's contact response — and set the crash flag
+    consumed by the reward (``stage_world1.py:198-201``).
+    """
+    cand = integrate(pose, v, w, dt, substeps)
+    stalled = wall_collision(cand[:, :2], seg_p, seg_e, seg_valid, radius)
+    stalled = stalled | robot_collision(cand[:, :2], radius)
+    new_pose = jnp.where(stalled[:, None], pose, cand)
+    return new_pose, stalled

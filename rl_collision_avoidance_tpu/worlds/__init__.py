@@ -1,0 +1,6 @@
+from .spec import WorldSpec, ResetMode, stage1, stage2, circle, get_world, circle_tables, stage2_tables
+
+__all__ = [
+    "WorldSpec", "ResetMode", "stage1", "stage2", "circle", "get_world",
+    "circle_tables", "stage2_tables",
+]
