@@ -1,0 +1,7 @@
+from .gae import generate_train_data, calculate_returns
+from .ppo import PPOConfig, Batch, ppo_loss, ppo_update, normalize_advantages
+
+__all__ = [
+    "generate_train_data", "calculate_returns", "PPOConfig", "Batch",
+    "ppo_loss", "ppo_update", "normalize_advantages",
+]

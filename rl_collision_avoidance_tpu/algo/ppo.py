@@ -1,0 +1,106 @@
+"""Clipped-PPO update, fully on device.
+
+Reproduces ``model/ppo.py:143-259`` (``ppo_update_stage1/2``): advantage
+normalization over the whole rollout, epochs of randomly permuted minibatches,
+ratio clipping, and the loss ``policy + 20 * value - coeff_entropy * entropy``.
+Differences by design:
+  * minibatch iteration is a ``lax.scan`` over an on-device permutation
+    (no host loop, no host<->device copies per minibatch);
+  * stage-2's ``np.delete`` of dead-robot transitions (``model/ppo.py:212-218``,
+    ``model/utils.py:65-78``) becomes a per-sample weight mask — identical
+    gradient direction without dynamic shapes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import distributions
+
+
+class PPOConfig(NamedTuple):
+    batch_size: int = 1024
+    epochs: int = 2
+    clip_value: float = 0.1
+    coeff_entropy: float = 5e-4
+    value_coeff: float = 20.0
+    learning_rate: float = 5e-5
+
+
+class Batch(NamedTuple):
+    """Flattened rollout, leading axis M = horizon * num_env."""
+    scans: jnp.ndarray     # (M, F, B)
+    goal: jnp.ndarray      # (M, 2)
+    speed: jnp.ndarray     # (M, 2)
+    action: jnp.ndarray    # (M, 2) raw (unclipped) samples, as the reference
+    logprob: jnp.ndarray   # (M, 1) behavior log-prob
+    target: jnp.ndarray    # (M, 1)
+    adv: jnp.ndarray       # (M, 1) already normalized
+    weight: jnp.ndarray    # (M,) 1.0 = train on it, 0.0 = masked out
+
+
+def normalize_advantages(advs: jnp.ndarray) -> jnp.ndarray:
+    """(advs - mean)/std over the *full* rollout — the reference normalizes
+    before any filtering (``model/ppo.py:148``, population std)."""
+    return (advs - jnp.mean(advs)) / jnp.std(advs)
+
+
+def ppo_loss(apply_fn, params, mb: Batch, cfg: PPOConfig):
+    value, mean, logstd = apply_fn(params, mb.scans, mb.goal, mb.speed)
+    new_logprob = distributions.log_normal_density(mb.action, mean, logstd)
+    ratio = jnp.exp(new_logprob - mb.logprob)            # (B, 1)
+    adv = mb.adv
+    surr1 = ratio * adv
+    surr2 = jnp.clip(ratio, 1.0 - cfg.clip_value, 1.0 + cfg.clip_value) * adv
+    w = mb.weight[:, None]
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    policy_loss = -jnp.sum(jnp.minimum(surr1, surr2) * w) / wsum
+    value_loss = jnp.sum((value - mb.target) ** 2 * w) / wsum
+    ent = distributions.entropy(logstd)                  # scalar per sample
+    loss = (policy_loss + cfg.value_coeff * value_loss
+            - cfg.coeff_entropy * ent)
+    return loss, (policy_loss, value_loss, ent)
+
+
+def ppo_update(apply_fn, params, opt_state, tx, batch: Batch, key,
+               cfg: PPOConfig):
+    """Run ``cfg.epochs`` x shuffled minibatches of PPO SGD.
+
+    Returns (params, opt_state, metrics) where metrics are means over all
+    minibatches of (policy_loss, value_loss, entropy) — the reference's
+    ``ppo.log`` stream (``model/ppo.py:189-192``).
+    """
+    m = batch.scans.shape[0]
+    n_mb = m // cfg.batch_size
+    assert n_mb > 0, "batch_size larger than rollout"
+    used = n_mb * cfg.batch_size
+
+    grad_fn = jax.grad(lambda p, mb: ppo_loss(apply_fn, p, mb, cfg),
+                       has_aux=True)
+
+    def minibatch_step(carry, idx):
+        params, opt_state = carry
+        mb = jax.tree_util.tree_map(lambda x: jnp.take(x, idx, axis=0), batch)
+        grads, aux = grad_fn(params, mb)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), jnp.stack(aux)
+
+    def epoch_step(carry, k):
+        perm = jax.random.permutation(k, m)[:used]
+        idxs = perm.reshape(n_mb, cfg.batch_size)
+        carry, aux = jax.lax.scan(minibatch_step, carry, idxs)
+        return carry, aux
+
+    keys = jax.random.split(key, cfg.epochs)
+    (params, opt_state), aux = jax.lax.scan(epoch_step, (params, opt_state),
+                                            keys)
+    metrics = jnp.mean(aux.reshape(-1, 3), axis=0)
+    return params, opt_state, {
+        "policy_loss": metrics[0],
+        "value_loss": metrics[1],
+        "entropy": metrics[2],
+    }

@@ -1,0 +1,100 @@
+"""Headline benchmark: stage-1 acting throughput (policy + env, fused).
+
+The reference's equivalent path is one RL step of 24 MPI ranks against the
+10 Hz stageros loop — MPI gather, one GPU forward, MPI scatter, ROS pub/sub,
+reward — i.e. wall-clock-bound at roughly 24 x 10 = 240 robot-steps/s
+(stageros.cpp:819).  Here the same semantics run as a jitted scan over
+thousands of arenas on one chip.  North-star target from BASELINE.json:
+5M robot-steps/s per host.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_STEPS_PER_S = 5.0e6
+
+
+def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.bfloat16):
+    from .engine.env import Env
+    from .models import CNNPolicy, distributions
+    from .worlds import stage1
+
+    spec = stage1()
+    env = Env(spec)
+    model = CNNPolicy(dtype=policy_dtype)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 3, 512)), jnp.zeros((1, 2)),
+                        jnp.zeros((1, 2)))
+    env_state, obs = jax.vmap(env.reset)(jax.random.split(key, n_arenas))
+
+    def one_step(carry, _):
+        env_state, obs, key = carry
+        key, k = jax.random.split(key)
+        a, n = obs.scans.shape[:2]
+        flat = lambda x: x.reshape(a * n, *x.shape[2:])
+        _, mean, logstd = model.apply(params, flat(obs.scans),
+                                      flat(obs.goal), flat(obs.speed))
+        raw = distributions.sample(k, mean, logstd)
+        act = jnp.stack([jnp.clip(raw[:, 0], 0.0, 1.0),
+                         jnp.clip(raw[:, 1], -1.0, 1.0)],
+                        axis=-1).reshape(a, n, 2)
+        env_state, obs, r, d, info = jax.vmap(env.step)(env_state, act)
+        return (env_state, obs, key), r[0, 0]
+
+    @jax.jit
+    def run(env_state, obs, key):
+        (env_state, obs, key), rs = jax.lax.scan(
+            one_step, (env_state, obs, key), None, length=inner_steps)
+        return env_state, obs, key, rs.sum()
+
+    return spec, run, (env_state, obs, key)
+
+
+def measure(n_arenas: int = 512, inner_steps: int = 32, repeats: int = 5,
+            policy_dtype=jnp.bfloat16):
+    spec, run, carry = build_step(n_arenas, inner_steps, policy_dtype)
+    env_state, obs, key = carry
+    # compile + warmup
+    env_state, obs, key, s = run(env_state, obs, key)
+    jax.block_until_ready(s)
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        env_state, obs, key, s = run(env_state, obs, key)
+        jax.block_until_ready(s)
+        dt = time.perf_counter() - t0
+        steps = n_arenas * spec.n_robots * inner_steps
+        best = max(best, steps / dt)
+    return best
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--arenas", type=int, default=None)
+    p.add_argument("--inner-steps", type=int, default=32)
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--f32", action="store_true",
+                   help="policy in float32 instead of bfloat16")
+    args = p.parse_args(argv)
+
+    platform = jax.devices()[0].platform
+    n_arenas = args.arenas or (512 if platform != "cpu" else 8)
+    steps_per_s = measure(n_arenas, args.inner_steps, args.repeats,
+                          jnp.float32 if args.f32 else jnp.bfloat16)
+    print(json.dumps({
+        "metric": "stage1_env_steps_per_s",
+        "value": round(steps_per_s, 1),
+        "unit": "robot-steps/s",
+        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,18 +51,37 @@ def raycast_segments(origins, dirs, seg_p, seg_e, seg_valid):
       t = cross(p - o, e) / cross(d, e),  u = cross(p - o, d) / cross(d, e),
     hit iff t > 0 and u in [0, 1].
     """
-    po = seg_p[None, :, :] - origins[:, None, :]                     # (N,S,2)
-    # cross(d, e): contraction over the 2-vector -> matmul-shaped (N,B,S)
-    denom = jnp.einsum("nbi,si->nbs", dirs, jnp.stack([seg_e[:, 1], -seg_e[:, 0]], -1))
-    t_num = po[..., 0] * seg_e[None, :, 1] - po[..., 1] * seg_e[None, :, 0]  # (N,S)
-    u_num = (po[:, None, :, 0] * dirs[:, :, None, 1]
-             - po[:, None, :, 1] * dirs[:, :, None, 0])              # (N,B,S)
-    safe = jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
-    t = t_num[:, None, :] / safe
-    u = u_num / safe
-    hit = (jnp.abs(denom) > _EPS) & (t > _EPS) & (u >= 0.0) & (u <= 1.0)
-    hit = hit & seg_valid[None, None, :]
-    return jnp.min(jnp.where(hit, t, _BIG), axis=-1)
+    def block_min(args):
+        seg_p, seg_e, seg_valid = args
+        po = seg_p[None, :, :] - origins[:, None, :]                 # (N,C,2)
+        # cross(d, e): contraction over the 2-vector -> matmul-shaped (N,B,C)
+        denom = jnp.einsum(
+            "nbi,si->nbs", dirs, jnp.stack([seg_e[:, 1], -seg_e[:, 0]], -1))
+        t_num = po[..., 0] * seg_e[None, :, 1] - po[..., 1] * seg_e[None, :, 0]
+        u_num = (po[:, None, :, 0] * dirs[:, :, None, 1]
+                 - po[:, None, :, 1] * dirs[:, :, None, 0])          # (N,B,C)
+        safe = jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
+        t = t_num[:, None, :] / safe
+        u = u_num / safe
+        hit = (jnp.abs(denom) > _EPS) & (t > _EPS) & (u >= 0.0) & (u <= 1.0)
+        hit = hit & seg_valid[None, None, :]
+        return jnp.min(jnp.where(hit, t, _BIG), axis=-1)
+
+    s = seg_p.shape[0]
+    chunk = 128  # bounds the (N, B, C) intermediate; lane-aligned
+    if s <= chunk:
+        return block_min((seg_p, seg_e, seg_valid))
+    n_blocks = (s + chunk - 1) // chunk
+    pad = n_blocks * chunk - s
+    if pad:
+        seg_p = jnp.pad(seg_p, ((0, pad), (0, 0)))
+        seg_e = jnp.pad(seg_e, ((0, pad), (0, 0)))
+        seg_valid = jnp.pad(seg_valid, (0, pad))
+    blocks = (seg_p.reshape(n_blocks, chunk, 2),
+              seg_e.reshape(n_blocks, chunk, 2),
+              seg_valid.reshape(n_blocks, chunk))
+    per_block = jax.lax.map(block_min, blocks)                       # (K,N,B)
+    return jnp.min(per_block, axis=0)
 
 
 def raycast_discs(origins, dirs, centers, radius, exists=None):

@@ -1,0 +1,68 @@
+"""Full-state checkpointing (params + optimizer + env + RNG).
+
+The reference saves only ``policy.state_dict()`` every 20 updates
+(``ppo_stage1.py:122-126``) and warm-starts curriculum stages from it
+(``ppo_stage2.py:194-200``).  Here the whole :class:`TrainState` pytree is
+saved via Orbax, giving exact stop/resume; ``load_params``/``save_params``
+cover the reference's params-only transfer (stage1 -> stage2 warm start).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckpt = ocp.PyTreeCheckpointer()
+        self.keep = keep
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"update_{step}")
+
+    def save(self, step: int, state: Any):
+        self._ckpt.save(self._path(step), jax.device_get(state), force=True)
+        self._gc()
+
+    def restore(self, step: int, template: Any | None = None) -> Any:
+        if template is not None:
+            return self._ckpt.restore(self._path(step), item=template)
+        return self._ckpt.restore(self._path(step))
+
+    def latest_step(self) -> int | None:
+        steps = []
+        if not os.path.isdir(self.directory):
+            return None
+        for name in os.listdir(self.directory):
+            if name.startswith("update_"):
+                try:
+                    steps.append(int(name.split("_", 1)[1]))
+                except ValueError:
+                    pass
+        return max(steps) if steps else None
+
+    def _gc(self):
+        steps = sorted(
+            int(n.split("_", 1)[1]) for n in os.listdir(self.directory)
+            if n.startswith("update_") and n.split("_", 1)[1].isdigit())
+        for s in steps[:-self.keep] if self.keep else []:
+            import shutil
+            shutil.rmtree(self._path(s), ignore_errors=True)
+
+
+def save_params(path: str, params: Any):
+    """Params-only save (the reference's ``torch.save(state_dict)``)."""
+    ocp.PyTreeCheckpointer().save(os.path.abspath(path),
+                                  jax.device_get(params), force=True)
+
+
+def load_params(path: str, template: Any | None = None) -> Any:
+    c = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return c.restore(os.path.abspath(path), item=template)
+    return c.restore(os.path.abspath(path))

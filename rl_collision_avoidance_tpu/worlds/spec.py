@@ -276,5 +276,26 @@ def circle(n_robots: int = 50) -> WorldSpec:
     )
 
 
+@lru_cache(maxsize=None)
+def mini(n_robots: int = 4, n_beams: int = 64) -> WorldSpec:
+    """Small square room for fast tests/examples: stage-1 semantics at a
+    fraction of the compute (few segments, few beams, few robots)."""
+    seg_p, seg_e, valid = pack_segments(boundary_segments(20.0, 20.0))
+    return WorldSpec(
+        name="mini",
+        n_robots=n_robots,
+        n_beams=n_beams,
+        seg_p=seg_p,
+        seg_e=seg_e,
+        seg_valid=valid,
+        timeout=150,
+        reset_mode=ResetMode.RANDOM_DISC,
+        spawn_radius=9.0,
+        goal_dist_min=8.0,
+        goal_dist_max=10.0,
+    )
+
+
 def get_world(name: str) -> WorldSpec:
-    return {"stage1": stage1, "stage2": stage2, "circle": circle}[name]()
+    return {"stage1": stage1, "stage2": stage2, "circle": circle,
+            "mini": mini}[name]()

@@ -1,0 +1,224 @@
+"""Env semantics: rewards, termination, auto-reset, stage-2 groups,
+determinism.  Mirrors the reference behaviors of stage_world1.py:180-274,
+ppo_stage2.py:72-106, model/utils.py:65-87."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rl_collision_avoidance_tpu.engine import make_env
+from rl_collision_avoidance_tpu.engine.env import (RESULT_CRASH, RESULT_GOAL,
+                                                   RESULT_TIMEOUT)
+from rl_collision_avoidance_tpu.worlds import mini, stage2, circle
+
+
+@pytest.fixture(scope="module")
+def env():
+    return make_env(mini())
+
+
+@pytest.fixture(scope="module")
+def jitted(env):
+    return jax.jit(env.reset), jax.jit(env.step)
+
+
+def test_reset_invariants(env, jitted):
+    reset, _ = jitted
+    state, obs = reset(jax.random.PRNGKey(1))
+    pos = np.asarray(state.pose[:, :2])
+    # spawn within the 9 m disc (stage_world1.py:251-260)
+    assert (np.linalg.norm(pos, axis=-1) <= 9.0 + 1e-5).all()
+    # goals 8-10 m from the start (stage_world1.py:262-274); rejection
+    # sampling may rarely fall back, so allow tiny slack on count
+    d = np.linalg.norm(np.asarray(state.goal) - pos, axis=-1)
+    assert ((d >= 8.0 - 1e-5) & (d <= 10.0 + 1e-5)).mean() >= 0.75
+    # initial dist = true distance (stage 1 semantics)
+    np.testing.assert_allclose(np.asarray(state.dist), d, rtol=1e-5)
+    # history filled with the same first frame
+    s = np.asarray(obs.scans)
+    np.testing.assert_allclose(s[:, 0], s[:, 1])
+    np.testing.assert_allclose(s[:, 1], s[:, 2])
+    assert np.asarray(state.step).sum() == 0
+
+
+def test_progress_reward(env, jitted):
+    reset, step = jitted
+    state, obs = reset(jax.random.PRNGKey(2))
+    # drive straight toward the local goal: set heading toward goal
+    to_goal = np.asarray(state.goal) - np.asarray(state.pose[:, :2])
+    theta = np.arctan2(to_goal[:, 1], to_goal[:, 0])
+    state = state.replace(pose=state.pose.at[:, 2].set(jnp.asarray(theta)))
+    d0 = np.asarray(state.dist).copy()
+    act = jnp.tile(jnp.asarray([[1.0, 0.0]]), (env.n_robots, 1))
+    state, obs, r, done, info = step(state, act)
+    moved = ~np.asarray(info.crashed)
+    # progress = 0.1 m * 2.5 = 0.25 per robot that moved freely
+    np.testing.assert_allclose(np.asarray(r)[moved], 0.25, atol=1e-3)
+    np.testing.assert_allclose(d0[moved] - np.asarray(state.dist)[moved],
+                               0.1, atol=1e-4)
+
+
+def test_goal_reward_and_reset(env, jitted):
+    reset, step = jitted
+    state, obs = reset(jax.random.PRNGKey(3))
+    # teleport robot 0 just outside goal radius, aimed at the goal
+    g = np.asarray(state.goal)[0]
+    pose = np.array(state.pose)
+    d = 0.55
+    pose[0] = [g[0] - d, g[1], 0.0]
+    state = state.replace(pose=jnp.asarray(pose),
+                          dist=jnp.asarray(np.linalg.norm(
+                              np.asarray(state.goal) - pose[:, :2], axis=-1)))
+    act = jnp.zeros((env.n_robots, 2)).at[0, 0].set(1.0)
+    state, obs, r, done, info = step(state, act)
+    # moved 0.1 -> dist 0.45 < 0.5 -> +15, terminal, result GOAL
+    assert float(r[0]) == pytest.approx(15.0)
+    assert bool(done[0])
+    assert int(info.result[0]) == RESULT_GOAL
+    # auto-reset: robot 0 got a fresh episode (step counter cleared, goal
+    # 8-10 m away in most draws)
+    assert int(state.step[0]) == 0
+    assert float(state.dist[0]) > 0.5
+
+
+def test_crash_reward(env, jitted):
+    reset, step = jitted
+    state, obs = reset(jax.random.PRNGKey(4))
+    pose = np.array(state.pose)
+    pose[0] = [9.7, 0.0, 0.0]  # facing the x=+10 wall 0.3 m ahead... r=0.22
+    state = state.replace(pose=jnp.asarray(pose),
+                          dist=jnp.asarray(np.linalg.norm(
+                              np.asarray(state.goal) - pose[:, :2], axis=-1)))
+    act = jnp.zeros((env.n_robots, 2)).at[0, 0].set(1.0)
+    state, obs, r, done, info = step(state, act)
+    assert bool(info.crashed[0])
+    assert int(info.result[0]) == RESULT_CRASH
+    assert bool(done[0])
+    # crash reward = -15 + progress(0 moved) + ... = -15 exactly (no motion)
+    assert float(r[0]) == pytest.approx(-15.0, abs=1e-5)
+
+
+def test_timeout(env, jitted):
+    reset, step = jitted
+    state, obs = reset(jax.random.PRNGKey(5))
+    state = state.replace(step=jnp.full((env.n_robots,), 150, jnp.int32))
+    act = jnp.zeros((env.n_robots, 2))
+    state, obs, r, done, info = step(state, act)
+    assert bool(np.asarray(done).all())
+    assert (np.asarray(info.result) == RESULT_TIMEOUT).all()
+    assert (np.asarray(state.step) == 0).all()  # all reset
+
+
+def test_spin_penalty(env, jitted):
+    reset, step = jitted
+    state, obs = reset(jax.random.PRNGKey(6))
+    act = jnp.tile(jnp.asarray([[0.0, 1.1]]), (env.n_robots, 1))
+    state, obs, r, done, info = step(state, act)
+    # |w| clipped to 1.0 < 1.05 threshold -> no penalty (bounds!)
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-5)
+
+
+def test_local_goal_frame(env, jitted):
+    reset, step = jitted
+    state, obs = reset(jax.random.PRNGKey(7))
+    pose = np.array(state.pose)
+    goal = np.asarray(state.goal)
+    lg = np.asarray(env._local_goal(jnp.asarray(pose), jnp.asarray(goal)))
+    for i in range(env.n_robots):
+        dx, dy = goal[i] - pose[i, :2]
+        th = pose[i, 2]
+        exp = [dx * np.cos(th) + dy * np.sin(th),
+               -dx * np.sin(th) + dy * np.cos(th)]
+        np.testing.assert_allclose(lg[i], exp, atol=1e-5)
+    # distance is frame-invariant
+    np.testing.assert_allclose(np.linalg.norm(lg, axis=-1),
+                               np.linalg.norm(goal - pose[:, :2], axis=-1),
+                               rtol=1e-5)
+
+
+def test_determinism(env, jitted):
+    reset, step = jitted
+    act = jnp.tile(jnp.asarray([[0.7, 0.2]]), (env.n_robots, 1))
+    outs = []
+    for _ in range(2):
+        state, obs = reset(jax.random.PRNGKey(42))
+        for _ in range(10):
+            state, obs, r, done, info = step(state, act)
+        outs.append((np.asarray(state.pose), np.asarray(r)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])  # bit-exact
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+# ---------------------------------------------------------------------------
+# stage 2: liveflag, groups, validity mask
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def env2():
+    return make_env(stage2())
+
+
+def test_stage2_reset_uses_tables(env2):
+    state, obs = jax.jit(env2.reset)(jax.random.PRNGKey(0))
+    pose = np.array(state.pose)
+    np.testing.assert_allclose(pose[0], [-7.0, 11.5, np.pi], atol=1e-5)
+    np.testing.assert_allclose(pose[33, :2], [-7.15, -13.53], atol=1e-5)
+    # corridor robots 34..43: x in [9,19], y in [-19,-13] u [-5,-1]
+    xy = pose[34:, :2]
+    assert ((xy[:, 0] >= 9) & (xy[:, 0] <= 19)).all()
+    assert (((xy[:, 1] >= -5.0) & (xy[:, 1] <= -1.0))
+            | ((xy[:, 1] >= -19.0) & (xy[:, 1] <= -13.0))).all()
+    # stage-2 quirk: initial dist seeded with 0 (stage_world2.py:170)
+    np.testing.assert_allclose(np.asarray(state.dist), 0.0)
+
+
+def test_stage2_dead_robots_freeze_and_mask(env2):
+    step = jax.jit(env2.step)
+    state, obs = jax.jit(env2.reset)(jax.random.PRNGKey(1))
+    # mark robot 6 dead (its group is 6..9)
+    dead = np.zeros(44, bool)
+    dead[6] = True
+    state = state.replace(dead=jnp.asarray(dead))
+    p0 = np.asarray(state.pose)[6]
+    act = jnp.tile(jnp.asarray([[1.0, 0.5]]), (44, 1))
+    state, obs, r, done, info = step(state, act)
+    np.testing.assert_allclose(np.asarray(state.pose)[6], p0)  # frozen
+    assert float(r[6]) == 0.0
+    assert not bool(info.valid[6])          # masked transition
+    assert bool(done[6])                    # latched terminal
+    assert bool(np.asarray(info.valid)[:6].all())
+
+
+def test_stage2_group_reset(env2):
+    step = jax.jit(env2.step)
+    state, obs = jax.jit(env2.reset)(jax.random.PRNGKey(2))
+    # kill the whole group 1 (robots 6..9) except robot 6; then make robot 6
+    # reach its goal -> whole group resets
+    dead = np.zeros(44, bool)
+    dead[7:10] = True
+    pose = np.array(state.pose)
+    goal = np.asarray(state.goal)
+    pose[6] = [goal[6, 0] - 0.55, goal[6, 1], 0.0]
+    state = state.replace(dead=jnp.asarray(dead), pose=jnp.asarray(pose))
+    act = jnp.zeros((44, 2)).at[6, 0].set(1.0)
+    state, obs, r, done, info = step(state, act)
+    dead_after = np.asarray(state.dead)
+    assert not dead_after[6:10].any()       # group reset, all alive again
+    assert (np.asarray(state.step)[6:10] == 0).all()
+    # the reset robots are back at their scenario poses
+    np.testing.assert_allclose(np.asarray(state.pose)[7, :2],
+                               [0.0, 16.0], atol=1e-5)
+
+
+def test_circle_never_resets():
+    envc = make_env(circle())
+    step = jax.jit(envc.step)
+    state, obs = jax.jit(envc.reset)(jax.random.PRNGKey(0))
+    pose0 = np.asarray(state.pose)
+    np.testing.assert_allclose(pose0[0, :2], [25.0, 0.0], atol=1e-5)
+    dead = np.ones(50, bool)
+    state = state.replace(dead=jnp.asarray(dead))
+    state, obs, r, done, info = step(state, jnp.ones((50, 2)))
+    assert bool(np.asarray(state.dead).all())   # still dead, no reset
+    np.testing.assert_allclose(np.asarray(state.pose), pose0)
