@@ -32,7 +32,7 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.bfloat16):
     key = jax.random.PRNGKey(0)
     params = model.init(key, jnp.zeros((1, 3, 512)), jnp.zeros((1, 2)),
                         jnp.zeros((1, 2)))
-    env_state, obs = jax.vmap(env.reset)(jax.random.split(key, n_arenas))
+    env_state, obs = env.reset(jax.random.split(key, n_arenas))
 
     def one_step(carry, _):
         env_state, obs, key = carry
@@ -45,7 +45,7 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.bfloat16):
         act = jnp.stack([jnp.clip(raw[:, 0], 0.0, 1.0),
                          jnp.clip(raw[:, 1], -1.0, 1.0)],
                         axis=-1).reshape(a, n, 2)
-        env_state, obs, r, d, info = jax.vmap(env.step)(env_state, act)
+        env_state, obs, r, d, info = env.step(env_state, act)
         return (env_state, obs, key), r[0, 0]
 
     @jax.jit

@@ -1,4 +1,4 @@
-"""The fused collision-avoidance environment: one arena = N robots, one step.
+"""The fused collision-avoidance environment: A arenas x N robots per step.
 
 This module is the TPU-native equivalent of the reference's entire L1+L2
 stack: the Stage simulator process (``stageros.cpp``), the per-robot ROS env
@@ -9,8 +9,10 @@ coupling of the reference (one RL step spans a variable number of 10 Hz sim
 updates, ``stageros.cpp:819``) becomes an exact, reproducible
 ``substeps x dt`` integration.
 
-``Env.step``/``Env.reset`` are pure functions over :class:`EnvState`; batch
-over arenas with ``jax.vmap`` and shard the arena axis over a device mesh.
+The public API is *natively batched over arenas* (leading axis A) — the lidar
+kernel packs multiple arenas into each grid program, which an outer ``vmap``
+would hide.  ``reset1``/``step1`` are single-arena conveniences.  Shard the
+arena axis over a device mesh for multi-chip/multi-host runs.
 
 Step semantics (matching the reference step-for-step):
   1. dead robots (stage-2 ``liveflag``, ``ppo_stage2.py:72-84``) act as
@@ -43,6 +45,20 @@ from . import lidar, physics, sampling
 V_MIN, V_MAX = 0.0, 1.0
 W_MIN, W_MAX = -1.0, 1.0
 
+_CELL_TABLE_CACHE: dict = {}
+
+
+def _cell_table_for(spec: WorldSpec):
+    """Build (once per world per process) the static culling table."""
+    key = (spec.name, spec.n_segments, spec.max_range)
+    if key not in _CELL_TABLE_CACHE:
+        from .celltable import build_cell_table
+
+        _CELL_TABLE_CACHE[key] = build_cell_table(
+            spec.seg_p, spec.seg_e, spec.seg_valid, spec.max_range, cell=1.0)
+    return _CELL_TABLE_CACHE[key]
+
+
 RESULT_RUNNING = 0
 RESULT_GOAL = 1
 RESULT_CRASH = 2
@@ -51,41 +67,62 @@ RESULT_TIMEOUT = 3
 
 @struct.dataclass
 class EnvState:
-    pose: jnp.ndarray       # (N, 3) x, y, theta
-    speed: jnp.ndarray      # (N, 2) applied (v, w)
-    goal: jnp.ndarray       # (N, 2)
-    dist: jnp.ndarray       # (N,) distance to goal (the next step's "pre")
-    step: jnp.ndarray       # (N,) int32 in-episode step counter
-    dead: jnp.ndarray       # (N,) bool terminal-but-not-reset (stage2/circle)
-    scan_hist: jnp.ndarray  # (N, F, B) normalized lidar frames, newest last
-    ep_return: jnp.ndarray  # (N,) running episode reward
-    key: jnp.ndarray        # PRNG key
+    pose: jnp.ndarray       # (A, N, 3) x, y, theta
+    speed: jnp.ndarray      # (A, N, 2) applied (v, w)
+    goal: jnp.ndarray       # (A, N, 2)
+    dist: jnp.ndarray       # (A, N) distance to goal (the next step's "pre")
+    step: jnp.ndarray       # (A, N) int32 in-episode step counter
+    dead: jnp.ndarray       # (A, N) bool terminal-but-not-reset (stage2/circle)
+    scan_hist: jnp.ndarray  # (A, N, F, B) normalized lidar frames, newest last
+    ep_return: jnp.ndarray  # (A, N) running episode reward
+    key: jnp.ndarray        # (A, 2) per-arena PRNG keys
 
 
 @struct.dataclass
 class Obs:
-    scans: jnp.ndarray  # (N, F, B)
-    goal: jnp.ndarray   # (N, 2) goal in the robot body frame
-    speed: jnp.ndarray  # (N, 2)
+    scans: jnp.ndarray  # (A, N, F, B)
+    goal: jnp.ndarray   # (A, N, 2) goal in the robot body frame
+    speed: jnp.ndarray  # (A, N, 2)
 
 
 @struct.dataclass
 class StepInfo:
-    result: jnp.ndarray      # (N,) int32 result code for this step
-    valid: jnp.ndarray       # (N,) bool: transition usable for training
-    ep_return: jnp.ndarray   # (N,) episode return, emitted when done fires
-    reached: jnp.ndarray     # (N,) bool reached-goal event this step
-    crashed: jnp.ndarray     # (N,) bool crash event this step
+    result: jnp.ndarray      # (A, N) int32 result code for this step
+    valid: jnp.ndarray       # (A, N) bool: transition usable for training
+    ep_return: jnp.ndarray   # (A, N) episode return, emitted when done fires
+    reached: jnp.ndarray     # (A, N) bool reached-goal event this step
+    crashed: jnp.ndarray     # (A, N) bool crash event this step
 
 
 class Env:
-    """Pure-functional batched env for one :class:`WorldSpec`."""
+    """Pure-functional batched env for one :class:`WorldSpec`.
 
-    def __init__(self, spec: WorldSpec):
+    ``use_pallas`` selects the fused VMEM lidar kernel (ops/lidar_pallas.py)
+    with static cell-table culling; the default picks it on TPU backends and
+    falls back to the dense XLA formulation elsewhere (bit-comparable, see
+    tests/test_pallas.py).
+    """
+
+    def __init__(self, spec: WorldSpec, use_pallas: bool | None = None):
         self.spec = spec
         self.n_robots = spec.n_robots
         self.n_beams = spec.n_beams
         self.frames = spec.laser_frames
+        platform = jax.devices()[0].platform
+        if use_pallas is None:
+            use_pallas = platform not in ("cpu",)
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from ..ops.lidar_pallas import make_scan_fn
+            from .celltable import lookup_cells
+
+            self._pallas_scan = make_scan_fn(
+                spec.n_beams, spec.fov, spec.robot_radius, spec.max_range,
+                interpret=(platform == "cpu"))
+            ct = _cell_table_for(spec)
+            self._cell_table_meta = ct
+            self._cell_table = jnp.asarray(ct.table)
+            self._lookup_cells = lookup_cells
         self._local_dirs = jnp.asarray(
             lidar.beam_directions_local(spec.n_beams, spec.fov))
         self._seg_p = jnp.asarray(spec.seg_p)
@@ -111,19 +148,33 @@ class Env:
     # observation helpers
     # ------------------------------------------------------------------
 
+    def _culled_for(self, pos):
+        """(A, N, 2) -> (A, K, N, 4) candidate segments via the cell table."""
+        a, n, _ = pos.shape
+        cells = self._lookup_cells(self._cell_table_meta, pos.reshape(a * n, 2))
+        culled = jnp.take(self._cell_table, cells, axis=0)  # (A*N, K, 4)
+        culled = culled.reshape(a, n, -1, 4)
+        return jnp.swapaxes(culled, 1, 2)                   # (A, K, N, 4)
+
+    def _raw_scan(self, pose):
+        """(A, N, 3) poses -> (A, N, B) ranges."""
+        if self.use_pallas:
+            return self._pallas_scan(pose, self._culled_for(pose[..., :2]))
+        per_arena = lambda p: lidar.scan(
+            p, self._local_dirs, self._seg_p, self._seg_e, self._seg_valid,
+            self.spec.robot_radius, self.spec.max_range)
+        return jax.vmap(per_arena)(pose)
+
     def _scan_obs(self, pose):
         """Normalized lidar frame: ranges/6 - 0.5 (stage_world1.py:140)."""
-        r = lidar.scan(pose, self._local_dirs, self._seg_p, self._seg_e,
-                       self._seg_valid, self.spec.robot_radius,
-                       self.spec.max_range)
-        return r / self.spec.max_range - 0.5
+        return self._raw_scan(pose) / self.spec.max_range - 0.5
 
     @staticmethod
     def _local_goal(pose, goal):
         """Goal in the body frame (stage_world1.py:155-160)."""
-        dx = goal[:, 0] - pose[:, 0]
-        dy = goal[:, 1] - pose[:, 1]
-        c, s = jnp.cos(pose[:, 2]), jnp.sin(pose[:, 2])
+        dx = goal[..., 0] - pose[..., 0]
+        dy = goal[..., 1] - pose[..., 1]
+        c, s = jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])
         return jnp.stack([dx * c + dy * s, -dx * s + dy * c], axis=-1)
 
     def _obs(self, state: EnvState) -> Obs:
@@ -135,12 +186,10 @@ class Env:
     # resets
     # ------------------------------------------------------------------
 
-    def _sample_pose_goal(self, key, cur_pose):
-        """Fresh (pose, goal) for every robot (applied under a mask).
-
-        cur_pose: (N, 3) current poses (the stage-2 corridor sampler's >=7 m
-        constraint is relative to the robot's current position).
-        """
+    def _sample_pose_goal_1(self, key, cur_pose):
+        """Fresh (pose, goal) for every robot of ONE arena (applied under a
+        mask).  cur_pose: (N, 3) — the stage-2 corridor sampler's >= 7 m
+        constraint is relative to the robot's current position."""
         spec = self.spec
         n = self.n_robots
         keys = jax.random.split(key, n)
@@ -162,33 +211,38 @@ class Env:
         # FIXED_TABLES
         return self._pose_table, self._goal_table
 
+    def _sample_pose_goal(self, keys, cur_pose):
+        """Batched over arenas: keys (A, 2), cur_pose (A, N, 3)."""
+        return jax.vmap(self._sample_pose_goal_1)(keys, cur_pose)
+
     def _reset_dist(self, pose, goal):
         """Initial "previous distance": true distance (stage 1,
         stage_world1.py:171-177) or 0 (stage 2/circle, stage_world2.py:170)."""
         if self.spec.dist_prev_zero_on_reset:
-            return jnp.zeros(self.n_robots)
-        return jnp.linalg.norm(goal - pose[:, :2], axis=-1)
+            return jnp.zeros(pose.shape[:-1])
+        return jnp.linalg.norm(goal - pose[..., :2], axis=-1)
 
-    def reset(self, key) -> tuple[EnvState, Obs]:
-        """Fresh arena: all robots at scenario/random start poses."""
-        key, k = jax.random.split(key)
+    def reset(self, keys) -> tuple[EnvState, Obs]:
+        """Fresh arenas; keys: (A,) PRNG keys (one per arena)."""
+        a = keys.shape[0]
         n = self.n_robots
-        zeros_pose = jnp.zeros((n, 3))
-        pose, goal = self._sample_pose_goal(k, zeros_pose)
+        split = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+        key, k_samp = split[:, 0], split[:, 1]
+        pose, goal = self._sample_pose_goal(k_samp, jnp.zeros((a, n, 3)))
         state = EnvState(
             pose=pose,
-            speed=jnp.zeros((n, 2)),
+            speed=jnp.zeros((a, n, 2)),
             goal=goal,
             dist=self._reset_dist(pose, goal),
-            step=jnp.zeros(n, jnp.int32),
-            dead=jnp.zeros(n, bool),
-            scan_hist=jnp.zeros((n, self.frames, self.n_beams)),
-            ep_return=jnp.zeros(n),
+            step=jnp.zeros((a, n), jnp.int32),
+            dead=jnp.zeros((a, n), bool),
+            scan_hist=jnp.zeros((a, n, self.frames, self.n_beams)),
+            ep_return=jnp.zeros((a, n)),
             key=key,
         )
         first = self._scan_obs(pose)
         state = state.replace(
-            scan_hist=jnp.repeat(first[:, None, :], self.frames, axis=1))
+            scan_hist=jnp.repeat(first[:, :, None, :], self.frames, axis=2))
         return state, self._obs(state)
 
     # ------------------------------------------------------------------
@@ -197,27 +251,37 @@ class Env:
 
     def step(self, state: EnvState, action: jnp.ndarray
              ) -> tuple[EnvState, Obs, jnp.ndarray, jnp.ndarray, StepInfo]:
-        """One control step for all robots of one arena.
+        """One control step for all robots of all arenas.
 
-        action: (N, 2) raw policy samples; clipped here exactly like
+        action: (A, N, 2) raw policy samples; clipped here exactly like
         ``model/ppo.py:75`` before execution.
         Returns (state', obs', reward, done, info); ``done`` mirrors the
         reference's gathered ``terminal_list`` (latched True while a stage-2
         robot is dead).
         """
         spec = self.spec
-        key, k_reset = jax.random.split(state.key)
+        split = jax.vmap(lambda k: jax.random.split(k, 2))(state.key)
+        key, k_reset = split[:, 0], split[:, 1]
 
         live = ~state.dead
-        v = jnp.clip(action[:, 0], V_MIN, V_MAX) * live
-        w = jnp.clip(action[:, 1], W_MIN, W_MAX) * live
+        v = jnp.clip(action[..., 0], V_MIN, V_MAX) * live
+        w = jnp.clip(action[..., 1], W_MIN, W_MAX) * live
 
-        pose, stalled = physics.step_with_stall(
-            state.pose, v, w, spec.dt, spec.substeps,
-            self._seg_p, self._seg_e, self._seg_valid, spec.robot_radius)
+        cand = physics.integrate(state.pose, v, w, spec.dt, spec.substeps)
+        if self.use_pallas:
+            wall = physics.wall_collision_packed(
+                cand[..., :2], self._culled_for(cand[..., :2]),
+                spec.robot_radius)
+        else:
+            wall = jax.vmap(lambda p: physics.wall_collision(
+                p, self._seg_p, self._seg_e, self._seg_valid,
+                spec.robot_radius))(cand[..., :2])
+        stalled = wall | physics.robot_collision(cand[..., :2],
+                                                 spec.robot_radius)
+        pose = jnp.where(stalled[..., None], state.pose, cand)
 
         t = state.step + live.astype(jnp.int32)
-        dist_new = jnp.linalg.norm(state.goal - pose[:, :2], axis=-1)
+        dist_new = jnp.linalg.norm(state.goal - pose[..., :2], axis=-1)
 
         # Reward (stage_world1.py:180-211); same formula for all workloads,
         # parameterized by omega_thresh / timeout.
@@ -243,20 +307,20 @@ class Env:
             dead_next = jnp.zeros_like(dead_after)
         elif spec.reset_mode is ResetMode.TABLES_THEN_CORRIDOR:
             # Group-synchronized episode boundaries (model/utils.py:81-87).
-            group_done = jnp.all(dead_after[None, :] | ~self._group_member,
-                                 axis=1)                      # (G,)
-            reset_mask = group_done[self._group_id]
+            group_done = jnp.all(
+                dead_after[:, None, :] | ~self._group_member[None], axis=-1)
+            reset_mask = group_done[:, self._group_id]           # (A, N)
             dead_next = dead_after & ~reset_mask
         else:  # FIXED_TABLES: eval, never reset
             reset_mask = jnp.zeros_like(dead_after)
             dead_next = dead_after
 
         new_pose, new_goal = self._sample_pose_goal(k_reset, pose)
-        pose = jnp.where(reset_mask[:, None], new_pose, pose)
-        goal = jnp.where(reset_mask[:, None], new_goal, state.goal)
+        pose = jnp.where(reset_mask[..., None], new_pose, pose)
+        goal = jnp.where(reset_mask[..., None], new_goal, state.goal)
         dist = jnp.where(reset_mask, self._reset_dist(pose, goal), dist_new)
         step_ctr = jnp.where(reset_mask, 0, t)
-        speed = jnp.where(reset_mask[:, None] | state.dead[:, None],
+        speed = jnp.where(reset_mask[..., None] | state.dead[..., None],
                           0.0, jnp.stack([v, w], axis=-1))
 
         ep_return_now = state.ep_return + reward
@@ -264,9 +328,10 @@ class Env:
 
         # One lidar pass at post-reset poses (fresh robots fill history 3x).
         scan = self._scan_obs(pose)
-        shifted = jnp.concatenate([state.scan_hist[:, 1:], scan[:, None]], axis=1)
-        filled = jnp.repeat(scan[:, None], self.frames, axis=1)
-        scan_hist = jnp.where(reset_mask[:, None, None], filled, shifted)
+        shifted = jnp.concatenate(
+            [state.scan_hist[:, :, 1:], scan[:, :, None]], axis=2)
+        filled = jnp.repeat(scan[:, :, None], self.frames, axis=2)
+        scan_hist = jnp.where(reset_mask[..., None, None], filled, shifted)
 
         new_state = EnvState(pose=pose, speed=speed, goal=goal, dist=dist,
                              step=step_ctr, dead=dead_next,
@@ -278,6 +343,23 @@ class Env:
                         reached=reached & live, crashed=crashed & live)
         return new_state, self._obs(new_state), reward, done, info
 
+    # ------------------------------------------------------------------
+    # single-arena conveniences (tests, simple scripts)
+    # ------------------------------------------------------------------
 
-def make_env(spec: WorldSpec) -> Env:
-    return Env(spec)
+    def reset1(self, key):
+        """Single-arena reset: unbatched state/obs (tests, simple scripts)."""
+        unb = partial(jax.tree_util.tree_map, lambda x: x[0])
+        state, obs = self.reset(key[None])
+        return unb(state), unb(obs)
+
+    def step1(self, state, action):
+        """Single-arena step over an unbatched state."""
+        b = partial(jax.tree_util.tree_map, lambda x: x[None])
+        unb = partial(jax.tree_util.tree_map, lambda x: x[0])
+        out = self.step(b(state), action[None])
+        return tuple(unb(o) for o in out)
+
+
+def make_env(spec: WorldSpec, use_pallas: bool | None = None) -> Env:
+    return Env(spec, use_pallas=use_pallas)

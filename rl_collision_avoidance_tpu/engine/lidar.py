@@ -55,8 +55,11 @@ def raycast_segments(origins, dirs, seg_p, seg_e, seg_valid):
         seg_p, seg_e, seg_valid = args
         po = seg_p[None, :, :] - origins[:, None, :]                 # (N,C,2)
         # cross(d, e): contraction over the 2-vector -> matmul-shaped (N,B,C)
+        # HIGHEST precision: TPU einsum defaults to bf16 multiplies, which
+        # fabricates/loses near-tangent hits (f32 required for geometry).
         denom = jnp.einsum(
-            "nbi,si->nbs", dirs, jnp.stack([seg_e[:, 1], -seg_e[:, 0]], -1))
+            "nbi,si->nbs", dirs, jnp.stack([seg_e[:, 1], -seg_e[:, 0]], -1),
+            precision=jax.lax.Precision.HIGHEST)
         t_num = po[..., 0] * seg_e[None, :, 1] - po[..., 1] * seg_e[None, :, 0]
         u_num = (po[:, None, :, 0] * dirs[:, :, None, 1]
                  - po[:, None, :, 1] * dirs[:, :, None, 0])          # (N,B,C)
@@ -93,7 +96,8 @@ def raycast_discs(origins, dirs, centers, radius, exists=None):
     """
     n = origins.shape[0]
     oc = centers[None, :, :] - origins[:, None, :]                   # (N,M,2)
-    b = jnp.einsum("nbi,nmi->nbm", dirs, oc)                         # (N,B,M)
+    b = jnp.einsum("nbi,nmi->nbm", dirs, oc,
+                   precision=jax.lax.Precision.HIGHEST)               # (N,B,M)
     c2 = jnp.sum(oc * oc, axis=-1) - radius * radius                 # (N,M)
     disc = b * b - c2[:, None, :]
     t = b - jnp.sqrt(jnp.maximum(disc, 0.0))

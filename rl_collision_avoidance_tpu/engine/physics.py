@@ -24,7 +24,7 @@ def integrate(pose: jnp.ndarray, v: jnp.ndarray, w: jnp.ndarray,
     """
     h = dt / substeps
     for _ in range(substeps):
-        x, y, th = pose[:, 0], pose[:, 1], pose[:, 2]
+        x, y, th = pose[..., 0], pose[..., 1], pose[..., 2]
         x = x + v * jnp.cos(th) * h
         y = y + v * jnp.sin(th) * h
         th = th + w * h
@@ -45,11 +45,29 @@ def wall_collision(pos: jnp.ndarray, seg_p: jnp.ndarray, seg_e: jnp.ndarray,
     return jnp.any(hit, axis=-1)
 
 
+def wall_collision_packed(pos: jnp.ndarray, culled: jnp.ndarray,
+                          radius: float) -> jnp.ndarray:
+    """Wall overlap against per-robot candidate segment lists.
+
+    culled: (..., K, N, 4) [px, py, ex, ey] from the static cell table
+    (engine/celltable.py); degenerate padding entries are far away and never
+    trigger.  Same semantics as :func:`wall_collision`, ~4x less work.
+    """
+    seg = jnp.swapaxes(culled, -3, -2)                              # (...,N,K,4)
+    sp, se = seg[..., :2], seg[..., 2:]
+    po = pos[..., :, None, :] - sp                                  # (...,N,K,2)
+    ee = jnp.maximum(jnp.sum(se * se, axis=-1), 1e-12)
+    tt = jnp.clip(jnp.sum(po * se, axis=-1) / ee, 0.0, 1.0)
+    closest = sp + tt[..., None] * se
+    d2 = jnp.sum((pos[..., :, None, :] - closest) ** 2, axis=-1)
+    return jnp.any(d2 < radius * radius, axis=-1)
+
+
 def robot_collision(pos: jnp.ndarray, radius: float) -> jnp.ndarray:
-    """(N,) bool: pairwise disc overlap (diameter threshold), self excluded."""
-    diff = pos[:, None, :] - pos[None, :, :]
+    """(..., N) bool: pairwise disc overlap (diameter threshold), self excluded."""
+    diff = pos[..., :, None, :] - pos[..., None, :, :]
     d2 = jnp.sum(diff * diff, axis=-1)
-    n = pos.shape[0]
+    n = pos.shape[-2]
     overlap = (d2 < (2.0 * radius) ** 2) & ~jnp.eye(n, dtype=bool)
     return jnp.any(overlap, axis=-1)
 

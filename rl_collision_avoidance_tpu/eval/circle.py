@@ -21,20 +21,20 @@ from ..worlds import circle as circle_world
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _run(params, model, env, max_steps, key):
-    state, obs = env.reset(key)
+    state, obs = env.reset(key[None])
     start_dist = jnp.linalg.norm(env._goal_table - env._pose_table[:, :2],
                                  axis=-1)
 
     def body(carry, i):
         state, obs, done_step, first_result = carry
-        n = obs.scans.shape[0]
-        value, mean, logstd = model.apply(params, obs.scans, obs.goal,
-                                          obs.speed)
+        n = env.n_robots
+        value, mean, logstd = model.apply(params, obs.scans[0], obs.goal[0],
+                                          obs.speed[0])
         action = jnp.stack([jnp.clip(mean[:, 0], 0.0, 1.0),
                             jnp.clip(mean[:, 1], -1.0, 1.0)], axis=-1)
-        state, obs, reward, done, info = env.step(state, action)
-        newly = (info.result != 0) & (first_result == 0)
-        first_result = jnp.where(newly, info.result, first_result)
+        state, obs, reward, done, info = env.step(state, action[None])
+        newly = (info.result[0] != 0) & (first_result == 0)
+        first_result = jnp.where(newly, info.result[0], first_result)
         done_step = jnp.where(newly, i + 1, done_step)
         return (state, obs, done_step, first_result), None
 

@@ -84,7 +84,7 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         key, k_env, k_model = jax.random.split(key, 3)
         env_keys = jax.random.split(k_env, cfg.n_arenas)
-        env_state, _ = jax.vmap(self.env.reset)(env_keys)
+        env_state, _ = self.env.reset(env_keys)
         n, f, b = self.spec.n_robots, self.spec.laser_frames, self.spec.n_beams
         params = self.model.init(k_model, jnp.zeros((1, f, b)),
                                  jnp.zeros((1, 2)), jnp.zeros((1, 2)))
@@ -131,7 +131,7 @@ class Trainer:
 
     def _train_step(self, state: TrainState):
         cfg = self.cfg
-        env_step = jax.vmap(self.env.step)
+        env_step = self.env.step
 
         def rollout_body(carry, _):
             env_state, obs, key = carry
@@ -144,7 +144,7 @@ class Trainer:
 
         # Observation is a pure function of env state; recompute at entry
         # (avoids aliased buffers in the donated train state).
-        obs0 = jax.vmap(self.env._obs)(state.env_state)
+        obs0 = self.env._obs(state.env_state)
         (env_state, obs, key), traj = jax.lax.scan(
             rollout_body, (state.env_state, obs0, state.key), None,
             length=cfg.horizon)

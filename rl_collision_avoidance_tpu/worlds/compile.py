@@ -117,9 +117,119 @@ def _boundary_edges_np(grid: np.ndarray) -> np.ndarray:
     return np.asarray(edges, dtype=np.int64).reshape(-1, 3)
 
 
-def segments_from_bitmap(png_path: str, size_m: tuple[float, float], resolution: float):
+def _chain_loops(segs):
+    """Chain axis-aligned boundary segments into closed loops (each raster
+    boundary vertex has exactly two incident edges)."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for i, (p0, p1) in enumerate(segs):
+        adj[p0].append((i, p1))
+        adj[p1].append((i, p0))
+    used = [False] * len(segs)
+    loops = []
+    for start_i, (p0, p1) in enumerate(segs):
+        if used[start_i]:
+            continue
+        loop = [p0, p1]
+        used[start_i] = True
+        cur = p1
+        while True:
+            nxt = None
+            for i, other in adj[cur]:
+                if not used[i]:
+                    nxt = (i, other)
+                    break
+            if nxt is None:
+                break
+            used[nxt[0]] = True
+            cur = nxt[1]
+            if cur == loop[0]:
+                break
+            loop.append(cur)
+        loops.append(loop)
+    return loops
+
+
+def _douglas_peucker(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative DP polyline simplification (open chain)."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b <= a + 1:
+            continue
+        seg = pts[b] - pts[a]
+        length = np.hypot(*seg)
+        if length < 1e-12:
+            d = np.linalg.norm(pts[a + 1:b] - pts[a], axis=1)
+        else:
+            d = np.abs(np.cross(seg, pts[a + 1:b] - pts[a])) / length
+        i = int(np.argmax(d))
+        if d[i] > tol:
+            keep[a + 1 + i] = True
+            stack.append((a, a + 1 + i))
+            stack.append((a + 1 + i, b))
+    return pts[keep]
+
+
+def simplify_segments(segs, tol: float):
+    """Simplify raster boundary loops with Douglas-Peucker.
+
+    ``tol`` bounds the geometric deviation; at half the raster resolution the
+    simplified contour stays within the discretization error of the raster
+    itself while collapsing staircase corners into a few chords — the lidar
+    kernel's per-robot candidate count drops several-fold.
+    """
+    if tol <= 0:
+        return segs
+    out = []
+    for loop in _chain_loops(segs):
+        closed = loop[0] == loop[-1] or (len(loop) > 2 and np.allclose(loop[0], loop[-1]))
+        pts = np.asarray(loop, dtype=np.float64)
+        if closed and not np.allclose(pts[0], pts[-1]):
+            pts = np.concatenate([pts, pts[:1]], axis=0)
+        simp = _douglas_peucker(pts, tol)
+        for i in range(len(simp) - 1):
+            out.append((tuple(simp[i]), tuple(simp[i + 1])))
+    return out
+
+
+def fill_unreachable(grid: np.ndarray, size_m: tuple[float, float],
+                     seeds_world) -> np.ndarray:
+    """Mark every cell not in the free component(s) of the seed points as
+    occupied.  Exact for any robot inside those components: geometry it can
+    never reach or see (outer contours, enclosed voids) merges into solid
+    blocks whose internal boundaries vanish, shrinking the segment set."""
+    gy, gx = grid.shape
+    free = ~grid
+    reach = np.zeros_like(free)
+    for wx, wy in seeds_world:
+        ix = int(np.clip((wx + size_m[0] / 2) / size_m[0] * gx, 0, gx - 1))
+        iy = int(np.clip((size_m[1] / 2 - wy) / size_m[1] * gy, 0, gy - 1))
+        reach[iy, ix] = free[iy, ix]
+    while True:
+        grown = reach.copy()
+        grown[1:] |= reach[:-1]
+        grown[:-1] |= reach[1:]
+        grown[:, 1:] |= reach[:, :-1]
+        grown[:, :-1] |= reach[:, 1:]
+        grown &= free
+        if (grown == reach).all():
+            return ~reach
+        reach = grown
+
+
+def segments_from_bitmap(png_path: str, size_m: tuple[float, float],
+                         resolution: float, simplify_tol: float = 0.0,
+                         reach_seeds=None):
     grid = load_occupancy(png_path, size_m, resolution)
-    return occupancy_to_segments(grid, size_m)
+    if reach_seeds is not None:
+        grid = fill_unreachable(grid, size_m, reach_seeds)
+    segs = occupancy_to_segments(grid, size_m)
+    return simplify_segments(segs, simplify_tol)
 
 
 def boundary_segments(sx: float, sy: float):

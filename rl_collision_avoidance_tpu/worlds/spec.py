@@ -89,6 +89,10 @@ class WorldSpec:
     # Episode-synchronization groups (model/utils.py:81-87): group id per robot,
     # or None when episodes are per-robot independent.
     group_id: np.ndarray | None = None
+    # Lidar culling: K nearest segments per robot fed to the fused kernel.
+    # Exact as long as no robot ever has more than K segments within
+    # max_range (validated per world via culling.max_segments_in_range).
+    cull_k: int = 128
 
     @property
     def n_segments(self) -> int:
@@ -179,10 +183,25 @@ def stage2_tables():
 _STAGE_RESOLUTION = 0.2
 
 
-def _bitmap_world_segments(png: str, size_m: float, resolution: float = _STAGE_RESOLUTION):
+def _bitmap_world_segments(png: str, size_m: float,
+                           resolution: float = _STAGE_RESOLUTION,
+                           simplify_tol: float | None = None,
+                           reach_seeds=None):
+    """Compile a bitmap world to segments.
+
+    ``reach_seeds``: world points known reachable by robots; geometry outside
+    their free component is filled solid (exact — it can never be seen or
+    touched), which also subsumes the floorplan ``boundary 1`` border walls.
+    ``simplify_tol`` defaults to half the raster resolution — staircase
+    corners collapse to chords within the raster's own discretization error.
+    """
+    if simplify_tol is None:
+        simplify_tol = resolution / 2.0
     path = os.path.join(_ASSETS, png)
-    segs = segments_from_bitmap(path, (size_m, size_m), resolution)
-    segs += boundary_segments(size_m, size_m)  # floorplan `boundary 1`
+    segs = segments_from_bitmap(path, (size_m, size_m), resolution,
+                                simplify_tol, reach_seeds)
+    if reach_seeds is None:
+        segs += boundary_segments(size_m, size_m)  # floorplan `boundary 1`
     return segs
 
 
@@ -215,7 +234,8 @@ def _stage2_obstacle_segments():
 @lru_cache(maxsize=None)
 def stage1() -> WorldSpec:
     """24 robots, 20x20 m rounded rink, random poses/goals (worlds/stage1.world)."""
-    seg_p, seg_e, valid = pack_segments(_bitmap_world_segments("rink.png", 20.0))
+    seg_p, seg_e, valid = pack_segments(
+        _bitmap_world_segments("rink.png", 20.0, reach_seeds=[(0.0, 0.0)]))
     return WorldSpec(
         name="stage1",
         n_robots=24,
@@ -229,15 +249,19 @@ def stage1() -> WorldSpec:
         goal_dist_min=8.0,
         goal_dist_max=10.0,
         dist_prev_zero_on_reset=False,
+        cull_k=128,  # worst case 118 segments within range (rink corners)
     )
 
 
 @lru_cache(maxsize=None)
 def stage2() -> WorldSpec:
     """44 robots, 40x40 m multi-room map + polygon obstacles (worlds/stage2.world)."""
-    segs = _bitmap_world_segments("testenv.png", 40.0) + _stage2_obstacle_segments()
-    seg_p, seg_e, valid = pack_segments(segs)
     poses, goals, group_id = stage2_tables()
+    seeds = [tuple(p[:2]) for p in poses] + [tuple(g) for g in goals[:34]]
+    seeds += [(14.0, -3.0), (14.0, -16.0)]  # corridor spawn band
+    segs = (_bitmap_world_segments("testenv.png", 40.0, reach_seeds=seeds)
+            + _stage2_obstacle_segments())
+    seg_p, seg_e, valid = pack_segments(segs)
     return WorldSpec(
         name="stage2",
         n_robots=44,
@@ -252,13 +276,15 @@ def stage2() -> WorldSpec:
         n_fixed=34,
         group_id=group_id,
         dist_prev_zero_on_reset=True,
+        cull_k=128,  # worst case 66 segments within range
     )
 
 
 @lru_cache(maxsize=None)
 def circle(n_robots: int = 50) -> WorldSpec:
     """50-robot circle swap in a 60x60 m rink (worlds/circle.world)."""
-    seg_p, seg_e, valid = pack_segments(_bitmap_world_segments("rink.png", 60.0))
+    seg_p, seg_e, valid = pack_segments(
+        _bitmap_world_segments("rink.png", 60.0, reach_seeds=[(0.0, 0.0)]))
     poses, goals = circle_tables(n_robots)
     return WorldSpec(
         name="circle",
@@ -273,6 +299,7 @@ def circle(n_robots: int = 50) -> WorldSpec:
         goal_table=goals,
         n_fixed=n_robots,
         dist_prev_zero_on_reset=True,
+        cull_k=192,  # worst case 158 segments within range (rink corners)
     )
 
 

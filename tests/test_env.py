@@ -19,7 +19,7 @@ def env():
 
 @pytest.fixture(scope="module")
 def jitted(env):
-    return jax.jit(env.reset), jax.jit(env.step)
+    return jax.jit(env.reset1), jax.jit(env.step1)
 
 
 def test_reset_invariants(env, jitted):
@@ -160,7 +160,7 @@ def env2():
 
 
 def test_stage2_reset_uses_tables(env2):
-    state, obs = jax.jit(env2.reset)(jax.random.PRNGKey(0))
+    state, obs = jax.jit(env2.reset1)(jax.random.PRNGKey(0))
     pose = np.array(state.pose)
     np.testing.assert_allclose(pose[0], [-7.0, 11.5, np.pi], atol=1e-5)
     np.testing.assert_allclose(pose[33, :2], [-7.15, -13.53], atol=1e-5)
@@ -174,8 +174,8 @@ def test_stage2_reset_uses_tables(env2):
 
 
 def test_stage2_dead_robots_freeze_and_mask(env2):
-    step = jax.jit(env2.step)
-    state, obs = jax.jit(env2.reset)(jax.random.PRNGKey(1))
+    step = jax.jit(env2.step1)
+    state, obs = jax.jit(env2.reset1)(jax.random.PRNGKey(1))
     # mark robot 6 dead (its group is 6..9)
     dead = np.zeros(44, bool)
     dead[6] = True
@@ -191,8 +191,8 @@ def test_stage2_dead_robots_freeze_and_mask(env2):
 
 
 def test_stage2_group_reset(env2):
-    step = jax.jit(env2.step)
-    state, obs = jax.jit(env2.reset)(jax.random.PRNGKey(2))
+    step = jax.jit(env2.step1)
+    state, obs = jax.jit(env2.reset1)(jax.random.PRNGKey(2))
     # kill the whole group 1 (robots 6..9) except robot 6; then make robot 6
     # reach its goal -> whole group resets
     dead = np.zeros(44, bool)
@@ -213,8 +213,8 @@ def test_stage2_group_reset(env2):
 
 def test_circle_never_resets():
     envc = make_env(circle())
-    step = jax.jit(envc.step)
-    state, obs = jax.jit(envc.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(envc.step1)
+    state, obs = jax.jit(envc.reset1)(jax.random.PRNGKey(0))
     pose0 = np.asarray(state.pose)
     np.testing.assert_allclose(pose0[0, :2], [25.0, 0.0], atol=1e-5)
     dead = np.ones(50, bool)
