@@ -85,9 +85,20 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     platform = jax.devices()[0].platform
-    n_arenas = args.arenas or (512 if platform != "cpu" else 8)
-    steps_per_s = measure(n_arenas, args.inner_steps, args.repeats,
-                          jnp.float32 if args.f32 else jnp.bfloat16)
+    n_arenas = args.arenas or (128 if platform != "cpu" else 8)
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    steps_per_s = None
+    while n_arenas >= 1:
+        try:
+            steps_per_s = measure(n_arenas, args.inner_steps, args.repeats,
+                                  dtype)
+            break
+        except Exception as e:  # compile/OOM fallback: halve the batch
+            print(f"bench: {n_arenas} arenas failed ({type(e).__name__}); "
+                  "retrying smaller", file=__import__("sys").stderr)
+            n_arenas //= 2
+    if steps_per_s is None:
+        raise SystemExit("bench failed at all arena counts")
     print(json.dumps({
         "metric": "stage1_env_steps_per_s",
         "value": round(steps_per_s, 1),
