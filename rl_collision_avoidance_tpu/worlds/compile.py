@@ -166,7 +166,8 @@ def _douglas_peucker(pts: np.ndarray, tol: float) -> np.ndarray:
         if length < 1e-12:
             d = np.linalg.norm(pts[a + 1:b] - pts[a], axis=1)
         else:
-            d = np.abs(np.cross(seg, pts[a + 1:b] - pts[a])) / length
+            rel = pts[a + 1:b] - pts[a]
+            d = np.abs(seg[0] * rel[:, 1] - seg[1] * rel[:, 0]) / length
         i = int(np.argmax(d))
         if d[i] > tol:
             keep[a + 1 + i] = True
