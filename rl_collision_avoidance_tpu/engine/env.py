@@ -343,6 +343,20 @@ class Env:
                         reached=reached & live, crashed=crashed & live)
         return new_state, self._obs(new_state), reward, done, info
 
+    def teleport(self, state: EnvState, pose: jnp.ndarray,
+                 mask: jnp.ndarray | None = None) -> EnvState:
+        """Set robot poses directly — the ``control_pose`` / ``cmd_pose``
+        equivalent (stage_world1.py:237-249, stageros.cpp:282-296).
+
+        pose: (A, N, 3); mask: optional (A, N) bool selecting robots.
+        Goal distance is re-derived so the next progress reward is computed
+        from the new position; the lidar history refreshes on the next step.
+        """
+        if mask is not None:
+            pose = jnp.where(mask[..., None], pose, state.pose)
+        dist = jnp.linalg.norm(state.goal - pose[..., :2], axis=-1)
+        return state.replace(pose=pose, dist=dist)
+
     # ------------------------------------------------------------------
     # single-arena conveniences (tests, simple scripts)
     # ------------------------------------------------------------------

@@ -222,3 +222,24 @@ def test_circle_never_resets():
     state, obs, r, done, info = step(state, jnp.ones((50, 2)))
     assert bool(np.asarray(state.dead).all())   # still dead, no reset
     np.testing.assert_allclose(np.asarray(state.pose), pose0)
+
+
+def test_teleport(env, jitted):
+    """control_pose equivalence (cmdpose_tests.py:136-203): teleported robot
+    reports exactly the commanded pose; goal distance re-derives."""
+    reset, step = jitted
+    state, obs = reset(jax.random.PRNGKey(8))
+    target = np.array(state.pose)
+    target[0] = [3.0, -2.0, 1.5]
+    mask = np.zeros(env.n_robots, bool)
+    mask[0] = True
+    b = lambda x: jnp.asarray(x)[None]
+    new = jax.tree_util.tree_map(
+        lambda x: x[0],
+        env.teleport(jax.tree_util.tree_map(lambda x: x[None], state),
+                     b(target), b(mask)))
+    np.testing.assert_allclose(np.asarray(new.pose)[0], [3.0, -2.0, 1.5])
+    np.testing.assert_allclose(np.asarray(new.pose)[1:],
+                               np.asarray(state.pose)[1:])
+    want = np.linalg.norm(np.asarray(state.goal)[0] - [3.0, -2.0])
+    np.testing.assert_allclose(float(new.dist[0]), want, rtol=1e-5)
