@@ -44,13 +44,25 @@ class TrainConfig:
 
     @staticmethod
     def stage1(**kw) -> "TrainConfig":
+        """Stage-1 hyperparameters (ppo_stage1.py:22-35).
+
+        The minibatch size scales with the arena count so the number of
+        gradient steps per update stays at the reference's (PPO over-replays
+        and collapses otherwise); pass an explicit ``ppo`` to override.
+        """
+        a = kw.get("n_arenas", 1)
+        kw.setdefault("ppo", PPOConfig(batch_size=1024 * a, epochs=2,
+                                       clip_value=0.1, coeff_entropy=5e-4,
+                                       learning_rate=5e-5))
         return TrainConfig(**kw)
 
     @staticmethod
     def stage2(**kw) -> "TrainConfig":
-        """Stage-2 hyperparameters (ppo_stage2.py:22-35)."""
+        """Stage-2 hyperparameters (ppo_stage2.py:22-35); see stage1 re:
+        batch scaling."""
+        a = kw.get("n_arenas", 1)
         kw.setdefault("world", "stage2")
-        kw.setdefault("ppo", PPOConfig(batch_size=512, epochs=4,
+        kw.setdefault("ppo", PPOConfig(batch_size=512 * a, epochs=4,
                                        clip_value=0.1, coeff_entropy=5e-4,
                                        learning_rate=5e-5))
         return TrainConfig(**kw)
@@ -219,4 +231,7 @@ class Trainer:
                 log_fn(metrics)
             if checkpoint_manager is not None and update % checkpoint_every == 0:
                 checkpoint_manager.save(update, state)
+                ep = max(float(metrics.get("episodes", 0)), 1.0)
+                checkpoint_manager.save_best(
+                    update, state, float(metrics.get("reached", 0)) / ep)
         return state

@@ -46,6 +46,28 @@ class CheckpointManager:
                     pass
         return max(steps) if steps else None
 
+    def save_best(self, step: int, state: Any, score: float) -> bool:
+        """Keep a rolling 'best' checkpoint by a scalar score (e.g. mean
+        return or goal-reach rate); returns True when it improved."""
+        marker = os.path.join(self.directory, "best_score")
+        prev = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prev = float(f.read().split()[0])
+        if prev is not None and score <= prev:
+            return False
+        self._ckpt.save(os.path.join(self.directory, "best"),
+                        jax.device_get(state), force=True)
+        with open(marker, "w") as f:
+            f.write(f"{score} {step}\n")
+        return True
+
+    def restore_best(self, template: Any | None = None) -> Any:
+        path = os.path.join(self.directory, "best")
+        if template is not None:
+            return self._ckpt.restore(path, item=template)
+        return self._ckpt.restore(path)
+
     def _gc(self):
         steps = sorted(
             int(n.split("_", 1)[1]) for n in os.listdir(self.directory)

@@ -71,3 +71,23 @@ def test_trainer_host_loop(tmp_path):
     assert len(logs) == 2
     assert logs[-1]["update"] == 2
     assert mgr.latest_step() == 2
+
+
+def test_save_best_checkpoint(tmp_path):
+    tr = _trainer()
+    state = tr.init_state()
+    mgr = CheckpointManager(str(tmp_path / "b"))
+    assert mgr.save_best(1, state, 0.5)
+    assert not mgr.save_best(2, state, 0.4)   # worse: not saved
+    assert mgr.save_best(3, state, 0.9)
+    best = mgr.restore_best(jax.device_get(state))
+    assert best is not None
+
+
+def test_stage_presets_scale_batch():
+    from rl_collision_avoidance_tpu.train import TrainConfig
+    c1 = TrainConfig.stage1(n_arenas=4)
+    assert c1.ppo.batch_size == 4096 and c1.ppo.epochs == 2
+    c2 = TrainConfig.stage2(n_arenas=2)
+    assert c2.world == "stage2"
+    assert c2.ppo.batch_size == 1024 and c2.ppo.epochs == 4
