@@ -76,6 +76,9 @@ def measure(n_arenas: int = 512, inner_steps: int = 32, repeats: int = 5,
 
 
 def main(argv=None):
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--arenas", type=int, default=None)
     p.add_argument("--inner-steps", type=int, default=32)

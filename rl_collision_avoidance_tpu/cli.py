@@ -29,6 +29,9 @@ def _add_common(p):
 
 
 def _train(stage: str, args):
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from .train import Trainer, TrainConfig
     from .utils.checkpoint import CheckpointManager, load_params
     from .utils.metrics import MetricLogger

@@ -41,6 +41,10 @@ class TrainConfig:
     seed: int = 0
     max_updates: int = 2000
     policy_dtype: Any = jnp.float32
+    # Storage dtype for rollout lidar frames (the dominant training buffer:
+    # horizon x arenas x robots x 3 x 512).  bfloat16 halves HBM, letting
+    # ~2x more arenas fit; None keeps exact f32 (parity default).
+    obs_store_dtype: Any = None
 
     @staticmethod
     def stage1(**kw) -> "TrainConfig":
@@ -151,7 +155,11 @@ class Trainer:
             value, raw, logprob, scaled = self._generate_action(
                 state.params, obs, k_act)
             env_state, obs_next, reward, done, info = env_step(env_state, scaled)
-            out = (obs, raw, logprob, value, reward, done, info)
+            obs_store = obs
+            if cfg.obs_store_dtype is not None:
+                obs_store = obs.replace(
+                    scans=obs.scans.astype(cfg.obs_store_dtype))
+            out = (obs_store, raw, logprob, value, reward, done, info)
             return (env_state, obs_next, key), out
 
         # Observation is a pure function of env state; recompute at entry

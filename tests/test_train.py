@@ -91,3 +91,16 @@ def test_stage_presets_scale_batch():
     c2 = TrainConfig.stage2(n_arenas=2)
     assert c2.world == "stage2"
     assert c2.ppo.batch_size == 1024 and c2.ppo.epochs == 4
+
+
+def test_bf16_obs_storage_runs():
+    import jax.numpy as jnp
+    from rl_collision_avoidance_tpu.algo import PPOConfig
+    from rl_collision_avoidance_tpu.parallel import make_mesh
+    from rl_collision_avoidance_tpu.train import TrainConfig, Trainer
+    cfg = TrainConfig(world="mini", n_arenas=2, horizon=4,
+                      ppo=PPOConfig(batch_size=8, epochs=1),
+                      obs_store_dtype=jnp.bfloat16)
+    tr = Trainer(cfg, mesh=make_mesh(1))
+    state, metrics = tr._step_fn(tr.init_state())
+    assert np.isfinite(float(jax.device_get(metrics)["policy_loss"]))
