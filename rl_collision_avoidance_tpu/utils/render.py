@@ -56,3 +56,26 @@ def save_arena_png(path, spec, pose, goal, scan=None, scan_robot: int = 0):
     ax.figure.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(ax.figure)
     return path
+
+
+def save_trajectory_gif(path, spec, poses, goal, every: int = 1,
+                        duration_ms: int = 80):
+    """Animate a trajectory — the reference's demo-GIF equivalent
+    (README.md:5).  poses: (T, N, 3) array of per-step poses."""
+    import io
+
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    frames = []
+    poses = np.asarray(poses)
+    for t in range(0, len(poses), every):
+        ax = render_arena(spec, poses[t], goal)
+        buf = io.BytesIO()
+        ax.figure.savefig(buf, format="png", dpi=80, bbox_inches="tight")
+        plt.close(ax.figure)
+        buf.seek(0)
+        frames.append(Image.open(buf).convert("P"))
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   duration=duration_ms, loop=0)
+    return path
