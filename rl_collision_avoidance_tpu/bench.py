@@ -34,8 +34,10 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.bfloat16):
                         jnp.zeros((1, 2)))
     env_state, obs = env.reset(jax.random.split(key, n_arenas))
 
+    # params flow in as a jit ARGUMENT: closing over a device array (of any
+    # size) permanently poisons axon dispatch (docs/PERF.md).
     def one_step(carry, _):
-        env_state, obs, key = carry
+        params, env_state, obs, key = carry
         key, k = jax.random.split(key)
         a, n = obs.scans.shape[:2]
         flat = lambda x: x.reshape(a * n, *x.shape[2:])
@@ -46,29 +48,33 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.bfloat16):
                          jnp.clip(raw[:, 1], -1.0, 1.0)],
                         axis=-1).reshape(a, n, 2)
         env_state, obs, r, d, info = env.step(env_state, act)
-        return (env_state, obs, key), r[0, 0]
+        return (params, env_state, obs, key), r[0, 0]
 
     @jax.jit
-    def run(env_state, obs, key):
-        (env_state, obs, key), rs = jax.lax.scan(
-            one_step, (env_state, obs, key), None, length=inner_steps)
+    def run(params, env_state, obs, key):
+        (params, env_state, obs, key), rs = jax.lax.scan(
+            one_step, (params, env_state, obs, key), None, length=inner_steps)
         return env_state, obs, key, rs.sum()
 
-    return spec, run, (env_state, obs, key)
+    def run_threaded(env_state, obs, key):
+        return run(params, env_state, obs, key)
+
+    return spec, run_threaded, (env_state, obs, key)
 
 
-def measure(n_arenas: int = 512, inner_steps: int = 32, repeats: int = 5,
+def measure(n_arenas: int = 512, inner_steps: int = 256, repeats: int = 5,
             policy_dtype=jnp.bfloat16):
     spec, run, carry = build_step(n_arenas, inner_steps, policy_dtype)
     env_state, obs, key = carry
-    # compile + warmup
+    # compile + warmup.  NOTE: timings must fetch a result to host —
+    # block_until_ready returns early on the axon runtime (docs/PERF.md).
     env_state, obs, key, s = run(env_state, obs, key)
-    jax.block_until_ready(s)
+    jax.device_get(s)
     best = 0.0
     for _ in range(repeats):
         t0 = time.perf_counter()
         env_state, obs, key, s = run(env_state, obs, key)
-        jax.block_until_ready(s)
+        jax.device_get(s)
         dt = time.perf_counter() - t0
         steps = n_arenas * spec.n_robots * inner_steps
         best = max(best, steps / dt)

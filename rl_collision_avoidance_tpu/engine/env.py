@@ -112,6 +112,11 @@ class Env:
         if use_pallas is None:
             use_pallas = platform not in ("cpu",)
         self.use_pallas = use_pallas
+        # World constants are kept as NUMPY arrays on purpose: numpy captures
+        # are baked into the executable as literals, whereas closing over a
+        # jnp (device) array — of ANY size — permanently degrades dispatch on
+        # the axon TPU runtime to ~0.4 ms per loop iteration (measured; see
+        # docs/PERF.md "dispatch poisoning").  Never store jnp arrays on self.
         if use_pallas:
             from ..ops.lidar_pallas import make_scan_fn
             from .celltable import lookup_cells
@@ -121,24 +126,24 @@ class Env:
                 interpret=(platform == "cpu"))
             ct = _cell_table_for(spec)
             self._cell_table_meta = ct
-            self._cell_table = jnp.asarray(ct.table)
+            self._cell_table = np.asarray(ct.table)
             self._lookup_cells = lookup_cells
-        self._local_dirs = jnp.asarray(
+        self._local_dirs = np.asarray(
             lidar.beam_directions_local(spec.n_beams, spec.fov))
-        self._seg_p = jnp.asarray(spec.seg_p)
-        self._seg_e = jnp.asarray(spec.seg_e)
-        self._seg_valid = jnp.asarray(spec.seg_valid)
+        self._seg_p = np.asarray(spec.seg_p)
+        self._seg_e = np.asarray(spec.seg_e)
+        self._seg_valid = np.asarray(spec.seg_valid)
         if spec.init_pose_table is not None:
-            self._pose_table = jnp.asarray(spec.init_pose_table)
-            self._goal_table = jnp.asarray(spec.goal_table)
+            self._pose_table = np.asarray(spec.init_pose_table)
+            self._goal_table = np.asarray(spec.goal_table)
         else:
             self._pose_table = None
             self._goal_table = None
         if spec.group_id is not None:
             gid = np.asarray(spec.group_id)
-            self._group_id = jnp.asarray(gid)
+            self._group_id = gid
             n_groups = int(gid.max()) + 1
-            self._group_member = jnp.asarray(
+            self._group_member = np.asarray(
                 gid[None, :] == np.arange(n_groups)[:, None])  # (G, N)
         else:
             self._group_id = None

@@ -97,8 +97,8 @@ def make_scan_fn(n_beams: int, fov: float, radius: float, max_range: float,
     """Build a jitted (pose (A,N,3), culled (A,K,N,4)) -> (A,N,B) function."""
     from ..engine.lidar import beam_directions_local
 
-    dirs_t = jnp.asarray(
-        np.ascontiguousarray(beam_directions_local(n_beams, fov).T))
+    # numpy on purpose: a closed-over jnp array poisons axon dispatch (env.py)
+    dirs_t = np.ascontiguousarray(beam_directions_local(n_beams, fov).T)
 
     @jax.jit
     def scan(pose, culled_segs):
