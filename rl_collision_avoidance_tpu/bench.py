@@ -21,13 +21,14 @@ import jax.numpy as jnp
 BASELINE_STEPS_PER_S = 5.0e6
 
 
-def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.bfloat16):
+def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.bfloat16,
+               lidar_mode: str | None = None):
     from .engine.env import Env
     from .models import CNNPolicy, distributions
     from .worlds import stage1
 
     spec = stage1()
-    env = Env(spec)
+    env = Env(spec, lidar_mode=lidar_mode)
     model = CNNPolicy(dtype=policy_dtype)
     key = jax.random.PRNGKey(0)
     params = model.init(key, jnp.zeros((1, 3, 512)), jnp.zeros((1, 2)),
@@ -63,8 +64,9 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.bfloat16):
 
 
 def measure(n_arenas: int = 512, inner_steps: int = 256, repeats: int = 5,
-            policy_dtype=jnp.bfloat16):
-    spec, run, carry = build_step(n_arenas, inner_steps, policy_dtype)
+            policy_dtype=jnp.bfloat16, lidar_mode: str | None = None):
+    spec, run, carry = build_step(n_arenas, inner_steps, policy_dtype,
+                                  lidar_mode)
     env_state, obs, key = carry
     # compile + warmup.  NOTE: timings must fetch a result to host —
     # block_until_ready returns early on the axon runtime (docs/PERF.md).
@@ -91,6 +93,8 @@ def main(argv=None):
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--f32", action="store_true",
                    help="policy in float32 instead of bfloat16")
+    p.add_argument("--lidar", choices=["xla", "pallas", "dense"], default=None,
+                   help="lidar backend (default: engine's platform default)")
     args = p.parse_args(argv)
 
     platform = jax.devices()[0].platform
@@ -100,7 +104,7 @@ def main(argv=None):
     while n_arenas >= 1:
         try:
             steps_per_s = measure(n_arenas, args.inner_steps, args.repeats,
-                                  dtype)
+                                  dtype, args.lidar)
             break
         except Exception as e:  # compile/OOM fallback: halve the batch
             print(f"bench: {n_arenas} arenas failed ({type(e).__name__}); "

@@ -103,31 +103,53 @@ class Env:
     tests/test_pallas.py).
     """
 
-    def __init__(self, spec: WorldSpec, use_pallas: bool | None = None):
+    def __init__(self, spec: WorldSpec, use_pallas: bool | None = None,
+                 lidar_mode: str | None = None):
         self.spec = spec
         self.n_robots = spec.n_robots
         self.n_beams = spec.n_beams
         self.frames = spec.laser_frames
         platform = jax.devices()[0].platform
-        if use_pallas is None:
-            use_pallas = platform not in ("cpu",)
-        self.use_pallas = use_pallas
+        # Lidar backends, all bit-comparable (tests/test_pallas.py):
+        #   "xla"    — cell-table culling + fused XLA pair test (default:
+        #              no custom call, so no per-call dispatch cost);
+        #   "pallas" — VMEM Pallas kernel over the same culled segments
+        #              (wins once per-step compute dwarfs the ~0.4 ms fixed
+        #              custom-call dispatch of the axon runtime);
+        #   "dense"  — reference formulation against all segments (CPU/tests).
+        if lidar_mode is None:
+            if use_pallas is None:
+                lidar_mode = "xla" if platform != "cpu" else "dense"
+            else:
+                lidar_mode = "pallas" if use_pallas else "dense"
+        assert lidar_mode in ("xla", "pallas", "dense"), lidar_mode
+        self.lidar_mode = lidar_mode
+        self.use_pallas = lidar_mode == "pallas"
         # World constants are kept as NUMPY arrays on purpose: numpy captures
         # are baked into the executable as literals, whereas closing over a
         # jnp (device) array — of ANY size — permanently degrades dispatch on
         # the axon TPU runtime to ~0.4 ms per loop iteration (measured; see
         # docs/PERF.md "dispatch poisoning").  Never store jnp arrays on self.
-        if use_pallas:
-            from ..ops.lidar_pallas import make_scan_fn
-            from .celltable import lookup_cells
+        if lidar_mode != "dense":
+            from .celltable import build_cell_table, lookup_cells
 
-            self._pallas_scan = make_scan_fn(
-                spec.n_beams, spec.fov, spec.robot_radius, spec.max_range,
-                interpret=(platform == "cpu"))
             ct = _cell_table_for(spec)
             self._cell_table_meta = ct
             self._cell_table = np.asarray(ct.table)
             self._lookup_cells = lookup_cells
+            # Separate table for wall-collision: candidates only need to be
+            # within robot_radius (not max_range) of the disc, so K drops
+            # from ~16 to ~8 (pad minimum).
+            ctw = build_cell_table(spec.seg_p, spec.seg_e, spec.seg_valid,
+                                   spec.robot_radius, cell=1.0)
+            self._wall_table_meta = ctw
+            self._wall_table = np.asarray(ctw.table)
+        if lidar_mode == "pallas":
+            from ..ops.lidar_pallas import make_scan_fn
+
+            self._pallas_scan = make_scan_fn(
+                spec.n_beams, spec.fov, spec.robot_radius, spec.max_range,
+                interpret=(platform == "cpu"))
         self._local_dirs = np.asarray(
             lidar.beam_directions_local(spec.n_beams, spec.fov))
         self._seg_p = np.asarray(spec.seg_p)
@@ -154,17 +176,21 @@ class Env:
     # ------------------------------------------------------------------
 
     def _culled_for(self, pos):
-        """(A, N, 2) -> (A, K, N, 4) candidate segments via the cell table."""
+        """(A, N, 2) -> (A, N, K, 4) candidate segments via the cell table."""
         a, n, _ = pos.shape
         cells = self._lookup_cells(self._cell_table_meta, pos.reshape(a * n, 2))
         culled = jnp.take(self._cell_table, cells, axis=0)  # (A*N, K, 4)
-        culled = culled.reshape(a, n, -1, 4)
-        return jnp.swapaxes(culled, 1, 2)                   # (A, K, N, 4)
+        return culled.reshape(a, n, -1, 4)
 
     def _raw_scan(self, pose):
         """(A, N, 3) poses -> (A, N, B) ranges."""
-        if self.use_pallas:
-            return self._pallas_scan(pose, self._culled_for(pose[..., :2]))
+        if self.lidar_mode == "xla":
+            return lidar.raycast_culled(
+                pose, self._local_dirs, self._culled_for(pose[..., :2]),
+                self.spec.robot_radius, self.spec.max_range)
+        if self.lidar_mode == "pallas":
+            culled = jnp.swapaxes(self._culled_for(pose[..., :2]), 1, 2)
+            return self._pallas_scan(pose, culled)
         per_arena = lambda p: lidar.scan(
             p, self._local_dirs, self._seg_p, self._seg_e, self._seg_valid,
             self.spec.robot_radius, self.spec.max_range)
@@ -197,18 +223,16 @@ class Env:
         constraint is relative to the robot's current position."""
         spec = self.spec
         n = self.n_robots
-        keys = jax.random.split(key, n)
+        kp, kg = jax.random.split(key)
         if spec.reset_mode is ResetMode.RANDOM_DISC:
-            kp = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
-            pose = jax.vmap(lambda k: sampling.stage1_pose(k, spec.spawn_radius))(kp[:, 0])
-            goal = jax.vmap(lambda k, p: sampling.stage1_goal(
-                k, p[:2], spec.spawn_radius, spec.goal_dist_min, spec.goal_dist_max))(
-                    kp[:, 1], pose)
+            pose = sampling.stage1_poses(kp, n, spec.spawn_radius)
+            goal = sampling.stage1_goals(kg, pose[:, :2], spec.spawn_radius,
+                                         spec.goal_dist_min,
+                                         spec.goal_dist_max)
             return pose, goal
         if spec.reset_mode is ResetMode.TABLES_THEN_CORRIDOR:
-            kp = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
-            rpose = jax.vmap(sampling.corridor_pose)(kp[:, 0], cur_pose[:, :2])
-            rgoal = jax.vmap(sampling.corridor_goal)(kp[:, 1], rpose[:, :2])
+            rpose = sampling.corridor_poses(kp, cur_pose[:, :2])
+            rgoal = sampling.corridor_goals(kg, rpose[:, :2])
             fixed = jnp.arange(n) < spec.n_fixed
             pose = jnp.where(fixed[:, None], self._pose_table, rpose)
             goal = jnp.where(fixed[:, None], self._goal_table, rgoal)
@@ -270,13 +294,23 @@ class Env:
 
         live = ~state.dead
         v = jnp.clip(action[..., 0], V_MIN, V_MAX) * live
-        w = jnp.clip(action[..., 1], W_MIN, W_MAX) * live
+        if spec.reset_mode is ResetMode.FIXED_TABLES:
+            # Finished circle-eval robots keep steering with the policy's w
+            # but v := 0 (circle_test.py:64-66) — they spin in place and stay
+            # in the arena as obstacles.
+            w = jnp.clip(action[..., 1], W_MIN, W_MAX)
+        else:
+            w = jnp.clip(action[..., 1], W_MIN, W_MAX) * live
 
         cand = physics.integrate(state.pose, v, w, spec.dt, spec.substeps)
-        if self.use_pallas:
+        if self.lidar_mode != "dense":
+            a, n = cand.shape[:2]
+            cells = self._lookup_cells(self._wall_table_meta,
+                                       cand[..., :2].reshape(a * n, 2))
+            culled_w = jnp.take(self._wall_table, cells,
+                                axis=0).reshape(a, n, -1, 4)
             wall = physics.wall_collision_packed(
-                cand[..., :2], self._culled_for(cand[..., :2]),
-                spec.robot_radius)
+                cand[..., :2], culled_w, spec.robot_radius)
         else:
             wall = jax.vmap(lambda p: physics.wall_collision(
                 p, self._seg_p, self._seg_e, self._seg_valid,
@@ -295,8 +329,13 @@ class Env:
         timeout = t > spec.timeout
         reward_g = jnp.where(reached, 15.0, (state.dist - dist_new) * 2.5)
         reward_c = jnp.where(crashed, -15.0, 0.0)
-        reward_w = jnp.where(jnp.abs(w) > spec.omega_thresh,
-                             -0.1 * jnp.abs(w), 0.0)
+        # The spin penalty reads the *realized* angular velocity: the
+        # reference uses the ground-truth twist, finite-differenced from
+        # poses (stage_world1.py:183, stageros.cpp:579-593), so a stalled
+        # robot (pose reverted) shows w = 0 and is not penalized.
+        w_real = w * ~stalled
+        reward_w = jnp.where(jnp.abs(w_real) > spec.omega_thresh,
+                             -0.1 * jnp.abs(w_real), 0.0)
         reward = (reward_g + reward_c + reward_w) * live
 
         terminal = (reached | crashed | timeout) & live
@@ -325,8 +364,13 @@ class Env:
         goal = jnp.where(reset_mask[..., None], new_goal, state.goal)
         dist = jnp.where(reset_mask, self._reset_dist(pose, goal), dist_new)
         step_ctr = jnp.where(reset_mask, 0, t)
-        speed = jnp.where(reset_mask[..., None] | state.dead[..., None],
-                          0.0, jnp.stack([v, w], axis=-1))
+        # Speed obs mirrors the reference's odometry twist — Stage's velocity
+        # STATE, i.e. the commanded (v, w) as applied this step (GetVelocity
+        # at stageros.cpp:547; fed back via stage_world1.py:108,143).  Dead
+        # stage-2 robots command (0, 0); finished circle robots command
+        # (0, w); fresh resets start at rest.
+        speed = jnp.where(reset_mask[..., None], 0.0,
+                          jnp.stack([v, w], axis=-1))
 
         ep_return_now = state.ep_return + reward
         ep_return = jnp.where(reset_mask, 0.0, ep_return_now)
@@ -380,5 +424,6 @@ class Env:
         return tuple(unb(o) for o in out)
 
 
-def make_env(spec: WorldSpec, use_pallas: bool | None = None) -> Env:
-    return Env(spec, use_pallas=use_pallas)
+def make_env(spec: WorldSpec, use_pallas: bool | None = None,
+             lidar_mode: str | None = None) -> Env:
+    return Env(spec, use_pallas=use_pallas, lidar_mode=lidar_mode)

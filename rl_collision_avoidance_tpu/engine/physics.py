@@ -49,11 +49,11 @@ def wall_collision_packed(pos: jnp.ndarray, culled: jnp.ndarray,
                           radius: float) -> jnp.ndarray:
     """Wall overlap against per-robot candidate segment lists.
 
-    culled: (..., K, N, 4) [px, py, ex, ey] from the static cell table
+    culled: (..., N, K, 4) [px, py, ex, ey] from the static cell table
     (engine/celltable.py); degenerate padding entries are far away and never
-    trigger.  Same semantics as :func:`wall_collision`, ~4x less work.
+    trigger.  Same semantics as :func:`wall_collision`, ~10x less work.
     """
-    seg = jnp.swapaxes(culled, -3, -2)                              # (...,N,K,4)
+    seg = culled
     sp, se = seg[..., :2], seg[..., 2:]
     po = pos[..., :, None, :] - sp                                  # (...,N,K,2)
     ee = jnp.maximum(jnp.sum(se * se, axis=-1), 1e-12)

@@ -1,10 +1,13 @@
-"""Fixed-trip-count pose/goal samplers replacing the reference's unbounded
-rejection loops (``stage_world1.py:251-274``, ``stage_world2.py:250-287``).
+"""Pose/goal samplers replacing the reference's unbounded rejection loops
+(``stage_world1.py:251-274``, ``stage_world2.py:250-287``) with fixed-shape,
+batched equivalents.
 
-Each sampler draws K i.i.d. candidates and keeps the first valid one —
-identical in distribution to loop-until-valid, but with static shapes so the
-whole reset path stays inside jit.  If no candidate is valid (probability
-< 1e-3 at the chosen K) the first candidate is used.
+Distribution-exact where closed forms exist (uniform-in-disc via polar
+inversion); elsewhere K i.i.d. candidates with keep-first-valid, identical in
+distribution to loop-until-valid with failure probability < ~1e-4 at the
+chosen K.  All samplers are batched over the robot axis: one fused
+``jax.random`` call per distribution instead of per-robot key splits (the
+reset path runs every step inside the fused env, so threefry volume counts).
 """
 from __future__ import annotations
 
@@ -15,54 +18,94 @@ _K = 32
 
 
 def _first_valid(cands: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """cands: (K, D), valid: (K,) -> (D,) first valid candidate (else cands[0])."""
-    idx = jnp.argmax(valid)  # first True; 0 when none
-    return cands[idx]
+    """cands: (..., K, D), valid: (..., K) -> (..., D): first valid candidate
+    per row (cands[..., 0, :] when none is)."""
+    idx = jnp.argmax(valid, axis=-1)  # first True; 0 when none
+    return jnp.take_along_axis(cands, idx[..., None, None], axis=-2)[..., 0, :]
 
 
-def stage1_pose(key, spawn_radius: float):
-    """Uniform pose in the disc of ``spawn_radius`` (stage_world1.py:251-260)."""
-    kxy, kth = jax.random.split(key)
-    xy = jax.random.uniform(kxy, (_K, 2), minval=-spawn_radius, maxval=spawn_radius)
-    valid = jnp.sum(xy * xy, axis=-1) <= spawn_radius**2
-    pos = _first_valid(xy, valid)
-    theta = jax.random.uniform(kth, (), minval=0.0, maxval=2.0 * jnp.pi)
-    return jnp.array([pos[0], pos[1], theta])
+def stage1_poses(key, n: int, spawn_radius: float) -> jnp.ndarray:
+    """(N, 3) poses uniform in the disc of ``spawn_radius``, heading
+    U(0, 2pi) — the exact limit distribution of the reference's
+    reject-from-square loop (stage_world1.py:251-260), sampled in closed
+    form via polar inversion (r = R*sqrt(u))."""
+    u = jax.random.uniform(key, (3, n))
+    r = spawn_radius * jnp.sqrt(u[0])
+    phi = 2.0 * jnp.pi * u[1]
+    theta = 2.0 * jnp.pi * u[2]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), theta], axis=-1)
 
 
-def stage1_goal(key, pose_xy, spawn_radius: float, dmin: float, dmax: float):
-    """Goal in the disc, 8-10 m from the start pose (stage_world1.py:262-274)."""
-    xy = jax.random.uniform(key, (_K, 2), minval=-spawn_radius, maxval=spawn_radius)
-    d_origin = jnp.sqrt(jnp.sum(xy * xy, axis=-1))
-    d_start = jnp.sqrt(jnp.sum((xy - pose_xy[None, :]) ** 2, axis=-1))
-    valid = (d_origin <= spawn_radius) & (d_start >= dmin) & (d_start <= dmax)
-    return _first_valid(xy, valid)
+def stage1_goals(key, pose_xy: jnp.ndarray, spawn_radius: float,
+                 dmin: float, dmax: float) -> jnp.ndarray:
+    """(N, 2) goals uniform on disc(spawn_radius) ∩ annulus(dmin, dmax)
+    around each start (stage_world1.py:262-274).
+
+    Candidates are drawn uniformly on the annulus (polar inversion over
+    r^2) and rejected on the disc — the same intersection distribution as
+    the reference's reject-from-square loop, at ~3x the per-candidate
+    acceptance.  The none-valid fallback (< ~1e-5 per reset) projects the
+    first candidate into the disc so the goal is always reachable."""
+    n = pose_xy.shape[0]
+    u = jax.random.uniform(key, (2, n, _K))
+    r = jnp.sqrt(dmin * dmin + u[0] * (dmax * dmax - dmin * dmin))
+    phi = 2.0 * jnp.pi * u[1]
+    cand = pose_xy[:, None, :] + jnp.stack(
+        [r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)      # (N, K, 2)
+    d_origin = jnp.linalg.norm(cand, axis=-1)
+    goal = _first_valid(cand, d_origin <= spawn_radius)
+    scale = jnp.minimum(
+        1.0, spawn_radius / jnp.maximum(jnp.linalg.norm(goal, axis=-1), 1e-6))
+    return goal * scale[:, None]
 
 
-def _corridor_xy(key):
-    """The stage-2 south-east corridor sampler's piecewise y mapping
+def _corridor_xy(u_x: jnp.ndarray, u_y: jnp.ndarray) -> jnp.ndarray:
+    """The stage-2 south-east corridor's piecewise mapping
     (stage_world2.py:252-257): x ~ U(9,19); u ~ U(0,1); u<=0.4 maps to
     y in [-5,-1], else y in (-19,-13]."""
-    kx, ky = jax.random.split(key)
-    x = jax.random.uniform(kx, (_K,), minval=9.0, maxval=19.0)
-    u = jax.random.uniform(ky, (_K,))
-    y = jnp.where(u <= 0.4, -(u * 10.0 + 1.0), -(u * 10.0 + 9.0))
+    x = 9.0 + 10.0 * u_x
+    y = jnp.where(u_y <= 0.4, -(u_y * 10.0 + 1.0), -(u_y * 10.0 + 9.0))
     return jnp.stack([x, y], axis=-1)
 
 
-def corridor_pose(key, cur_xy):
-    """Random corridor pose >= 7 m from the current position
+def corridor_poses(key, cur_xy: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) corridor poses >= 7 m from each current position
     (stage_world2.py:250-268)."""
-    kxy, kth = jax.random.split(key)
-    xy = _corridor_xy(kxy)
-    d = jnp.sqrt(jnp.sum((xy - cur_xy[None, :]) ** 2, axis=-1))
-    pos = _first_valid(xy, d >= 7.0)
-    theta = jax.random.uniform(kth, (), minval=0.0, maxval=2.0 * jnp.pi)
-    return jnp.array([pos[0], pos[1], theta])
+    n = cur_xy.shape[0]
+    u = jax.random.uniform(key, (3, n, _K))
+    cand = _corridor_xy(u[0], u[1])                          # (N, K, 2)
+    d = jnp.linalg.norm(cand - cur_xy[:, None, :], axis=-1)
+    pos = _first_valid(cand, d >= 7.0)
+    theta = 2.0 * jnp.pi * u[2, :, 0]
+    return jnp.concatenate([pos, theta[:, None]], axis=-1)
+
+
+def corridor_goals(key, pose_xy: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2) corridor goals >= 7 m from each (new) pose
+    (stage_world2.py:270-287)."""
+    n = pose_xy.shape[0]
+    u = jax.random.uniform(key, (2, n, _K))
+    cand = _corridor_xy(u[0], u[1])
+    d = jnp.linalg.norm(cand - pose_xy[:, None, :], axis=-1)
+    return _first_valid(cand, d >= 7.0)
+
+
+# ---------------------------------------------------------------------------
+# Single-robot conveniences (tests; one key -> one sample)
+# ---------------------------------------------------------------------------
+
+
+def stage1_pose(key, spawn_radius: float):
+    return stage1_poses(key, 1, spawn_radius)[0]
+
+
+def stage1_goal(key, pose_xy, spawn_radius: float, dmin: float, dmax: float):
+    return stage1_goals(key, pose_xy[None, :], spawn_radius, dmin, dmax)[0]
+
+
+def corridor_pose(key, cur_xy):
+    return corridor_poses(key, cur_xy[None, :])[0]
 
 
 def corridor_goal(key, pose_xy):
-    """Random corridor goal >= 7 m from the (new) pose (stage_world2.py:270-287)."""
-    xy = _corridor_xy(key)
-    d = jnp.sqrt(jnp.sum((xy - pose_xy[None, :]) ** 2, axis=-1))
-    return _first_valid(xy, d >= 7.0)
+    return corridor_goals(key, pose_xy[None, :])[0]

@@ -34,7 +34,7 @@ _BIG = 1e9
 
 def _kernel(pose_ref, segs_ref, centers_ref, dirs_ref, out_ref, *,
             n_robots, n_rows, n_beams, cull_k, radius, max_range,
-            use_approx_recip=True):
+            use_approx_recip=True, unroll_limit=16):
     x = pose_ref[0, :, 0:1]                   # (R, 1)
     y = pose_ref[0, :, 1:2]
     th = pose_ref[0, :, 2:3]
@@ -48,32 +48,35 @@ def _kernel(pose_ref, segs_ref, centers_ref, dirs_ref, out_ref, *,
     acc0 = jnp.full((n_rows, n_beams), max_range, jnp.float32)
 
     def seg_body(k, acc):
-        # Division-free ray/segment test.  With a = t_num*denom, s2 = denom^2:
-        #   t > eps      <=>  a > eps * s2
-        #   u in [0, 1]  <=>  u_num*denom >= 0  and  u_num^2 <= s2
-        # and t itself is a / s2 (one reciprocal instead of two divides).
+        # 13-vector-op ray/segment test.  With w = cross(d, e) and
+        # c0 = cross(p0 - o, d) (= u * w), the window test u in [0, 1] is the
+        # single sign test c0 * (w - c0) >= 0, and the line distance is
+        # t = cross(p0 - o, e) / w (one reciprocal, sign-correct both ways).
         seg = segs_ref[0, k]                  # (R, 4) per-row culled segment
         px = seg[:, 0:1] - x                  # (R, 1) segment start - origin
         py = seg[:, 1:2] - y
         ex = seg[:, 2:3]
         ey = seg[:, 3:4]
-        denom = dx * ey - dy * ex             # (R, B)
-        t_num = px * ey - py * ex             # (R, 1)
-        u_num = px * dy - py * dx             # (R, B)
-        a = t_num * denom
-        s2 = jnp.maximum(denom * denom, 1e-12)
-        b = u_num * denom
-        u2 = u_num * u_num
+        w = dx * ey - dy * ex                 # (R, B) cross(d, e)
+        c0 = px * dy - py * dx                # (R, B) cross(p0-o, d)
+        t_num = px * ey - py * ex             # (R, 1) cross(p0-o, e)
+        win = c0 * (w - c0)
         if use_approx_recip:
-            t = a * pl.reciprocal(s2, approx=True)
+            t = t_num * pl.reciprocal(w, approx=True)
         else:
-            t = a / s2
-        hit = (a > _EPS * s2) & (b >= 0.0) & (u2 <= s2)
+            t = t_num / jnp.where(w == 0.0, _EPS, w)
+        hit = (win >= 0.0) & (t > _EPS)
         return jnp.minimum(acc, jnp.where(hit, t, _BIG))
 
-    acc = jax.lax.fori_loop(0, cull_k, seg_body, acc0)
+    if cull_k <= unroll_limit:
+        acc = acc0
+        for k in range(cull_k):
+            acc = seg_body(k, acc)
+    else:
+        acc = jax.lax.fori_loop(0, cull_k, seg_body, acc0)
 
-    # Self-exclusion: row r is robot (r mod N) of its arena.
+    # Self-exclusion: row r is robot (r mod N) of its arena; excluding a disc
+    # is folding +BIG into its c2 term (the discriminant goes negative).
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
     robot_ids = jax.lax.rem(row_ids, n_robots)
 
@@ -81,20 +84,33 @@ def _kernel(pose_ref, segs_ref, centers_ref, dirs_ref, out_ref, *,
         cj = centers_ref[0, j]                # (R, 2): target robot j of each
         ocx = cj[:, 0:1] - x                  # row's own arena
         ocy = cj[:, 1:2] - y
+        c2 = ocx * ocx + ocy * ocy - radius * radius  # (R, 1)
+        c2 = jnp.where(robot_ids == j, _BIG, c2)
         b = dx * ocx + dy * ocy               # (R, B)
-        c2 = ocx * ocx + ocy * ocy - radius * radius
         disc = b * b - c2
         t = b - jnp.sqrt(jnp.maximum(disc, 0.0))
-        hit = (disc > 0.0) & (t > _EPS) & (robot_ids != j)
+        hit = (disc > 0.0) & (t > _EPS)
         return jnp.minimum(acc, jnp.where(hit, t, _BIG))
 
-    acc = jax.lax.fori_loop(0, n_robots, disc_body, acc)
+    if n_robots <= unroll_limit:
+        for j in range(n_robots):
+            acc = disc_body(j, acc)
+    else:
+        acc = jax.lax.fori_loop(0, n_robots, disc_body, acc)
+
     out_ref[0] = jnp.minimum(acc, max_range)
 
 
 def make_scan_fn(n_beams: int, fov: float, radius: float, max_range: float,
-                 interpret: bool = False, arenas_per_program: int = 8):
-    """Build a jitted (pose (A,N,3), culled (A,K,N,4)) -> (A,N,B) function."""
+                 interpret: bool = False, arenas_per_program: int = 8,
+                 unroll_limit: int = 16):
+    """Build a jitted (pose (A,N,3), culled (A,K,N,4)) -> (A,N,B) function.
+
+    ``unroll_limit``: loops with at most this many iterations are fully
+    unrolled.  Each unrolled iteration keeps one (rows, beams) f32 temporary
+    live on the VMEM stack, so rows are capped so that the unrolled stack
+    stays under the ~16 MB scoped-VMEM limit.
+    """
     from ..engine.lidar import beam_directions_local
 
     # numpy on purpose: a closed-over jnp array poisons axon dispatch (env.py)
@@ -104,6 +120,12 @@ def make_scan_fn(n_beams: int, fov: float, radius: float, max_range: float,
     def scan(pose, culled_segs):
         a, k, n, _ = culled_segs.shape
         g = arenas_per_program
+        unrolled = (k if k <= unroll_limit else 0) + (
+            n if n <= unroll_limit else 0)
+        if unrolled:
+            budget = 12 * 2**20  # leave headroom under the 16 MB limit
+            while g > 1 and g * n * n_beams * 4 * (unrolled + 6) > budget:
+                g //= 2
         while a % g:
             g //= 2
         rows = g * n
@@ -121,7 +143,8 @@ def make_scan_fn(n_beams: int, fov: float, radius: float, max_range: float,
         kern = functools.partial(_kernel, n_robots=n, n_rows=rows,
                                  n_beams=n_beams, cull_k=k, radius=radius,
                                  max_range=max_range,
-                                 use_approx_recip=not interpret)
+                                 use_approx_recip=not interpret,
+                                 unroll_limit=unroll_limit)
         out = pl.pallas_call(
             kern,
             grid=(grid,),

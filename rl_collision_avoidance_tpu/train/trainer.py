@@ -21,7 +21,8 @@ import optax
 from flax import struct
 
 from ..algo import gae
-from ..algo.ppo import Batch, PPOConfig, normalize_advantages, ppo_update
+from ..algo.ppo import (Batch, PPOConfig, normalize_advantages,
+                        ppo_update_sharded)
 from ..engine.env import Env, EnvState
 from ..models import CNNPolicy, distributions
 from ..parallel import mesh as meshlib
@@ -182,22 +183,28 @@ class Trainer:
             flat_e(done_t.astype(jnp.float32)), cfg.gamma, cfg.lam)
         advs = normalize_advantages(advs)
 
-        flat_m = lambda x: x.reshape(t * e, *x.shape[3:])
+        # Arena-major flattening (A, N, T) so the batch's leading axis is
+        # shard-contiguous: each device's samples form one block, letting
+        # ppo_update_sharded permute minibatches shard-locally with zero
+        # cross-device regather (the grad psum is the only collective).
+        flat_m = lambda x: jnp.moveaxis(x, 0, 2).reshape(
+            t * e, *x.shape[3:])
+        flat_te = lambda x: x.T.reshape(t * e)
         batch = Batch(
             scans=flat_m(obs_t.scans),
             goal=flat_m(obs_t.goal),
             speed=flat_m(obs_t.speed),
             action=flat_m(raw_t),
             logprob=flat_m(logprob_t)[:, None],
-            target=targets.reshape(t * e, 1),
-            adv=advs.reshape(t * e, 1),
+            target=flat_te(targets)[:, None],
+            adv=flat_te(advs)[:, None],
             weight=flat_m(info_t.valid).astype(jnp.float32),
         )
 
         key, k_ppo = jax.random.split(key)
-        params, opt_state, loss_metrics = ppo_update(
+        params, opt_state, loss_metrics = ppo_update_sharded(
             self.model.apply, state.params, state.opt_state, self.tx, batch,
-            k_ppo, cfg.ppo)
+            k_ppo, cfg.ppo, self.mesh, meshlib.DATA_AXIS)
 
         episodes = jnp.sum(done_t & info_t.valid.astype(bool))
         metrics = {

@@ -89,10 +89,6 @@ class WorldSpec:
     # Episode-synchronization groups (model/utils.py:81-87): group id per robot,
     # or None when episodes are per-robot independent.
     group_id: np.ndarray | None = None
-    # Lidar culling: K nearest segments per robot fed to the fused kernel.
-    # Exact as long as no robot ever has more than K segments within
-    # max_range (validated per world via culling.max_segments_in_range).
-    cull_k: int = 128
 
     @property
     def n_segments(self) -> int:
@@ -192,11 +188,15 @@ def _bitmap_world_segments(png: str, size_m: float,
     ``reach_seeds``: world points known reachable by robots; geometry outside
     their free component is filled solid (exact — it can never be seen or
     touched), which also subsumes the floorplan ``boundary 1`` border walls.
-    ``simplify_tol`` defaults to half the raster resolution — staircase
-    corners collapse to chords within the raster's own discretization error.
+    ``simplify_tol`` defaults to the raster resolution: Stage itself
+    quantizes world geometry to ``resolution``-sized raster cells
+    (worlds/stage1.world:3), so chords within one cell of the raster contour
+    stay inside the reference's own geometric granularity while cutting the
+    segment count (stage1 rink: 154 -> 27) and with it the lidar kernel's
+    per-robot candidate load (cell-table K: 48 -> 16, mean 34 -> 7).
     """
     if simplify_tol is None:
-        simplify_tol = resolution / 2.0
+        simplify_tol = resolution
     path = os.path.join(_ASSETS, png)
     segs = segments_from_bitmap(path, (size_m, size_m), resolution,
                                 simplify_tol, reach_seeds)
@@ -249,7 +249,6 @@ def stage1() -> WorldSpec:
         goal_dist_min=8.0,
         goal_dist_max=10.0,
         dist_prev_zero_on_reset=False,
-        cull_k=128,  # worst case 118 segments within range (rink corners)
     )
 
 
@@ -276,7 +275,6 @@ def stage2() -> WorldSpec:
         n_fixed=34,
         group_id=group_id,
         dist_prev_zero_on_reset=True,
-        cull_k=128,  # worst case 66 segments within range
     )
 
 
@@ -299,7 +297,6 @@ def circle(n_robots: int = 50) -> WorldSpec:
         goal_table=goals,
         n_fixed=n_robots,
         dist_prev_zero_on_reset=True,
-        cull_k=192,  # worst case 158 segments within range (rink corners)
     )
 
 

@@ -8,46 +8,62 @@ import pytest
 from rl_collision_avoidance_tpu.engine import make_env, culling
 from rl_collision_avoidance_tpu.engine.celltable import (build_cell_table,
                                                          lookup_cells)
-from rl_collision_avoidance_tpu.worlds import mini
+from rl_collision_avoidance_tpu.worlds import circle, mini, stage1, stage2
 
 
 @pytest.fixture(scope="module")
 def envs():
     spec = mini()
-    return make_env(spec, use_pallas=False), make_env(spec, use_pallas=True)
+    return (make_env(spec, lidar_mode="dense"),
+            make_env(spec, lidar_mode="pallas"),
+            make_env(spec, lidar_mode="xla"))
 
 
-def test_scan_obs_pallas_matches_xla(envs):
-    env_x, env_p = envs
+def test_scan_obs_backends_match(envs):
+    env_d, env_p, env_x = envs
     key = jax.random.PRNGKey(0)
-    pose = jax.random.uniform(key, (env_x.n_robots, 3), minval=-8, maxval=8)
-    r_x = np.asarray(jax.jit(env_x._scan_obs)(pose[None])[0])
+    pose = jax.random.uniform(key, (env_d.n_robots, 3), minval=-8, maxval=8)
+    r_d = np.asarray(jax.jit(env_d._scan_obs)(pose[None])[0])
     r_p = np.asarray(jax.jit(env_p._scan_obs)(pose[None])[0])
-    np.testing.assert_allclose(r_x, r_p, atol=1e-5)
+    r_x = np.asarray(jax.jit(env_x._scan_obs)(pose[None])[0])
+    np.testing.assert_allclose(r_d, r_p, atol=1e-5)
+    np.testing.assert_allclose(r_d, r_x, atol=1e-5)
 
 
-def test_env_step_pallas_matches_xla(envs):
-    env_x, env_p = envs
+def test_env_step_backends_match(envs):
+    env_d, env_p, env_x = envs
     key = jax.random.PRNGKey(1)
-    sx, _ = jax.jit(env_x.reset1)(key)
+    sd, _ = jax.jit(env_d.reset1)(key)
     sp, _ = jax.jit(env_p.reset1)(key)
-    act = jnp.tile(jnp.asarray([[0.8, 0.3]]), (env_x.n_robots, 1))
+    sx, _ = jax.jit(env_x.reset1)(key)
+    act = jnp.tile(jnp.asarray([[0.8, 0.3]]), (env_d.n_robots, 1))
     for _ in range(5):
-        sx, ox, rx, dx, ix = jax.jit(env_x.step1)(sx, act)
+        sd, od, rd, dd, idd = jax.jit(env_d.step1)(sd, act)
         sp, op, rp, dp, ip = jax.jit(env_p.step1)(sp, act)
-    np.testing.assert_allclose(np.asarray(sx.pose), np.asarray(sp.pose),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(rx), np.asarray(rp), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ox.scans), np.asarray(op.scans),
-                               atol=1e-5)
+        sx, ox, rx, dx, ix = jax.jit(env_x.step1)(sx, act)
+    for s2, o2, r2 in ((sp, op, rp), (sx, ox, rx)):
+        np.testing.assert_allclose(np.asarray(sd.pose), np.asarray(s2.pose),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rd), np.asarray(r2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(od.scans), np.asarray(o2.scans),
+                                   atol=1e-5)
 
 
-def test_cell_table_is_superset_of_range():
-    spec = mini()
+@pytest.mark.parametrize("make_spec", [mini, stage1, stage2, circle],
+                         ids=["mini", "stage1", "stage2", "circle"])
+def test_cell_table_is_superset_of_range(make_spec):
+    """The exactness contract of the static culling layer, enforced for every
+    shipped world: the cell table entry for any reachable point contains ALL
+    segments within max_range of that point (the kernel then can never miss a
+    hit the dense raycast would find)."""
+    spec = make_spec()
     ct = build_cell_table(spec.seg_p, spec.seg_e, spec.seg_valid,
                           spec.max_range, cell=1.0)
+    sp = spec.seg_p[spec.seg_valid]
+    lo = sp.min(axis=0) - 0.5
+    hi = (spec.seg_p + spec.seg_e)[spec.seg_valid].max(axis=0) + 0.5
     rng = np.random.default_rng(0)
-    pts = rng.uniform(-9.5, 9.5, (64, 2)).astype(np.float32)
+    pts = rng.uniform(lo, hi, (128, 2)).astype(np.float32)
     cells = np.asarray(lookup_cells(ct, jnp.asarray(pts)))
     d = np.asarray(culling.segment_distances(
         jnp.asarray(pts), jnp.asarray(spec.seg_p), jnp.asarray(spec.seg_e)))
@@ -58,6 +74,9 @@ def test_cell_table_is_superset_of_range():
         entries = set(map(tuple, ct.table[cells[i]].tolist()))
         missing = within - entries
         assert not missing, f"point {pt}: {len(missing)} in-range segs missing"
+    # and the worst-case in-range count fits the padded table width
+    worst = culling.max_segments_in_range(spec, spec.max_range)
+    assert worst <= ct.k, f"worst-case {worst} segments > table K={ct.k}"
 
 
 def test_dynamic_cull_matches_dense():
