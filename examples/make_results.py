@@ -1,0 +1,149 @@
+"""One-command reproduction of the training-parity evidence in results/.
+
+Runs the reference's full workflow (README.md:30-46: ppo_stage1 ->
+ppo_stage2 warm-started -> circle_test) on the attached TPU and writes every
+artifact the claims rest on:
+
+    results/
+      stage1_metrics.csv / stage2_metrics.csv   per-update training metrics
+      learning_curve.png                        goal-reach + return curves
+      stage1_params.npz / stage2_params.npz     trained policy weights
+      circle_eval.json                          50-robot circle-swap metrics
+      META.json                                 config, durations, device
+
+Usage:  python examples/make_results.py [--quick]
+(--quick: tiny update counts to smoke-test the pipeline end to end.)
+"""
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from rl_collision_avoidance_tpu.eval import run_circle_eval
+from rl_collision_avoidance_tpu.models import CNNPolicy
+from rl_collision_avoidance_tpu.train import Trainer, TrainConfig
+from rl_collision_avoidance_tpu.utils.cache import enable_compilation_cache
+from rl_collision_avoidance_tpu.utils.checkpoint import (CheckpointManager,
+                                                         load_params_npz,
+                                                         save_params_npz)
+from rl_collision_avoidance_tpu.utils.metrics import MetricLogger
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results")
+
+
+def train(stage: str, updates: int, n_arenas: int, warm_start=None):
+    cfg = (TrainConfig.stage1 if stage == "stage1"
+           else TrainConfig.stage2)(n_arenas=n_arenas)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    if warm_start:
+        tmpl = jax.device_get(state.params)
+        state = tr.shard_state(state.replace(
+            params=load_params_npz(warm_start, tmpl)))
+    log_dir = os.path.join(RESULTS, f"log_{stage}")
+    shutil.rmtree(log_dir, ignore_errors=True)  # fresh metrics.csv
+    logger = MetricLogger(log_dir)
+    ckpt = CheckpointManager(f"checkpoints/{stage}")
+    t0 = time.time()
+    state = tr.train(state, updates=updates, log_fn=logger.log_update,
+                     checkpoint_manager=ckpt, checkpoint_every=25)
+    dt = time.time() - t0
+    host_state = jax.device_get(state)
+    if os.path.exists(os.path.join(ckpt.directory, "best")):
+        host_state = ckpt.restore_best(host_state)
+    save_params_npz(os.path.join(RESULTS, f"{stage}_params.npz"),
+                    host_state.params)
+    shutil.copy(os.path.join(RESULTS, f"log_{stage}", "metrics.csv"),
+                os.path.join(RESULTS, f"{stage}_metrics.csv"))
+    print(f"{stage}: {updates} updates in {dt:.0f}s")
+    return {"stage": stage, "updates": updates, "n_arenas": n_arenas,
+            "wall_s": round(dt, 1), "horizon": cfg.horizon,
+            "batch_size": cfg.ppo.batch_size, "epochs": cfg.ppo.epochs}
+
+
+def plot_curves():
+    import csv
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    for stage, color in (("stage1", "tab:blue"), ("stage2", "tab:orange")):
+        path = os.path.join(RESULTS, f"{stage}_metrics.csv")
+        if not os.path.exists(path):
+            continue
+        rows = [r for r in csv.DictReader(open(path))
+                if r.get("update", "").replace(".", "").isdigit()]
+        upd = np.array([int(float(r["update"])) for r in rows])
+        ep = np.maximum(np.array([float(r["episodes"]) for r in rows]), 1)
+        reach = np.array([float(r["reached"]) for r in rows]) / ep
+        ret = (np.array([float(r["ep_return_sum"]) for r in rows]) / ep)
+        k = max(1, len(upd) // 50)
+        smooth = lambda x: np.convolve(x, np.ones(k) / k, mode="valid")
+        axes[0].plot(upd[k - 1:], smooth(reach), color=color, label=stage)
+        axes[1].plot(upd[k - 1:], smooth(ret), color=color, label=stage)
+    axes[0].set_xlabel("update"); axes[0].set_ylabel("goal-reach rate")
+    axes[0].set_ylim(0, 1); axes[0].legend(); axes[0].grid(alpha=0.3)
+    axes[1].set_xlabel("update"); axes[1].set_ylabel("mean episode return")
+    axes[1].legend(); axes[1].grid(alpha=0.3)
+    fig.suptitle("PPO curriculum on TPU (stage1: 24 robots; stage2: 44)")
+    fig.tight_layout()
+    fig.savefig(os.path.join(RESULTS, "learning_curve.png"), dpi=120)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--stage1-updates", type=int, default=1200)
+    p.add_argument("--stage2-updates", type=int, default=800)
+    args = p.parse_args()
+    if args.quick:
+        args.stage1_updates, args.stage2_updates = 5, 5
+
+    enable_compilation_cache()
+    os.makedirs(RESULTS, exist_ok=True)
+    meta = {"device": str(jax.devices()[0]),
+            "git": subprocess.run(["git", "rev-parse", "HEAD"],
+                                  capture_output=True, text=True,
+                                  cwd=os.path.dirname(RESULTS)
+                                  ).stdout.strip(),
+            "started_unix": time.time(), "phases": []}
+
+    meta["phases"].append(train("stage1", args.stage1_updates, n_arenas=32))
+    meta["phases"].append(train(
+        "stage2", args.stage2_updates, n_arenas=16,
+        warm_start=os.path.join(RESULTS, "stage1_params.npz")))
+
+    model = CNNPolicy()
+    tmpl = model.init(jax.random.PRNGKey(0),
+                      jax.numpy.zeros((1, 3, 512)), jax.numpy.zeros((1, 2)),
+                      jax.numpy.zeros((1, 2)))
+    params = load_params_npz(os.path.join(RESULTS, "stage2_params.npz"), tmpl)
+    t0 = time.time()
+    ev = run_circle_eval(params, model, max_steps=2000)
+    ev_noise = run_circle_eval(params, model, max_steps=2000, n_arenas=16,
+                               pose_noise=0.1)
+    out = {"deterministic": ev, "pose_noise_study": ev_noise,
+           "eval_wall_s": round(time.time() - t0, 1)}
+    with open(os.path.join(RESULTS, "circle_eval.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(ev))
+
+    plot_curves()
+    meta["finished_unix"] = time.time()
+    with open(os.path.join(RESULTS, "META.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

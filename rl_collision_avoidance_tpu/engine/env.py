@@ -108,6 +108,9 @@ class Env:
         self.spec = spec
         self.n_robots = spec.n_robots
         self.n_beams = spec.n_beams
+        self.obs_beams = spec.obs_beams or spec.n_beams
+        self._obs_idx = (None if self.obs_beams == spec.n_beams else
+                         lidar.sparse_beam_index(spec.n_beams, self.obs_beams))
         self.frames = spec.laser_frames
         platform = jax.devices()[0].platform
         # Lidar backends, all bit-comparable (tests/test_pallas.py):
@@ -138,10 +141,14 @@ class Env:
             self._cell_table = np.asarray(ct.table)
             self._lookup_cells = lookup_cells
             # Separate table for wall-collision: candidates only need to be
-            # within robot_radius (not max_range) of the disc, so K drops
-            # from ~16 to ~8 (pad minimum).
+            # within the footprint's circumradius (not max_range), so K
+            # drops from ~16 to ~8 (pad minimum).
+            reach = spec.robot_radius
+            if spec.footprint == "rect":
+                reach = max(reach, float(np.hypot(spec.rect_half_len,
+                                                  spec.rect_half_wid)))
             ctw = build_cell_table(spec.seg_p, spec.seg_e, spec.seg_valid,
-                                   spec.robot_radius, cell=1.0)
+                                   reach, cell=1.0)
             self._wall_table_meta = ctw
             self._wall_table = np.asarray(ctw.table)
         if lidar_mode == "pallas":
@@ -197,8 +204,12 @@ class Env:
         return jax.vmap(per_arena)(pose)
 
     def _scan_obs(self, pose):
-        """Normalized lidar frame: ranges/6 - 0.5 (stage_world1.py:140)."""
-        return self._raw_scan(pose) / self.spec.max_range - 0.5
+        """Normalized lidar frame: ranges/6 - 0.5, after the optional sparse
+        left/right resample (stage_world1.py:122-140)."""
+        scan = self._raw_scan(pose)
+        if self._obs_idx is not None:
+            scan = scan[..., self._obs_idx]
+        return scan / self.spec.max_range - 0.5
 
     @staticmethod
     def _local_goal(pose, goal):
@@ -265,7 +276,7 @@ class Env:
             dist=self._reset_dist(pose, goal),
             step=jnp.zeros((a, n), jnp.int32),
             dead=jnp.zeros((a, n), bool),
-            scan_hist=jnp.zeros((a, n, self.frames, self.n_beams)),
+            scan_hist=jnp.zeros((a, n, self.frames, self.obs_beams)),
             ep_return=jnp.zeros((a, n)),
             key=key,
         )
@@ -303,20 +314,38 @@ class Env:
             w = jnp.clip(action[..., 1], W_MIN, W_MAX) * live
 
         cand = physics.integrate(state.pose, v, w, spec.dt, spec.substeps)
+        rect = spec.footprint == "rect"
         if self.lidar_mode != "dense":
             a, n = cand.shape[:2]
             cells = self._lookup_cells(self._wall_table_meta,
                                        cand[..., :2].reshape(a * n, 2))
             culled_w = jnp.take(self._wall_table, cells,
                                 axis=0).reshape(a, n, -1, 4)
-            wall = physics.wall_collision_packed(
-                cand[..., :2], culled_w, spec.robot_radius)
+            if rect:
+                wall = physics.rect_wall_collision(
+                    cand, culled_w, spec.rect_half_len, spec.rect_half_wid)
+            else:
+                wall = physics.wall_collision_packed(
+                    cand[..., :2], culled_w, spec.robot_radius)
+        elif rect:
+            degen = np.asarray([1e7, 1e7, 0.0, 0.0], np.float32)
+            packed = np.where(self._seg_valid[:, None],
+                              np.concatenate([self._seg_p, self._seg_e], -1),
+                              degen)
+            full = jnp.broadcast_to(jnp.asarray(packed),
+                                    cand.shape[:2] + packed.shape)
+            wall = physics.rect_wall_collision(
+                cand, full, spec.rect_half_len, spec.rect_half_wid)
         else:
             wall = jax.vmap(lambda p: physics.wall_collision(
                 p, self._seg_p, self._seg_e, self._seg_valid,
                 spec.robot_radius))(cand[..., :2])
-        stalled = wall | physics.robot_collision(cand[..., :2],
-                                                 spec.robot_radius)
+        if rect:
+            stalled = wall | physics.rect_robot_collision(
+                cand, spec.rect_half_len, spec.rect_half_wid)
+        else:
+            stalled = wall | physics.robot_collision(cand[..., :2],
+                                                     spec.robot_radius)
         pose = jnp.where(stalled[..., None], state.pose, cand)
 
         t = state.step + live.astype(jnp.int32)

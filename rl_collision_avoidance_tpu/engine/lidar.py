@@ -21,6 +21,29 @@ _EPS = 1e-8
 _BIG = 1e9
 
 
+def sparse_beam_index(raw: int, sparse: int) -> np.ndarray:
+    """The reference's left/right two-pointer lidar resample as a static
+    index table (``stage_world1.py:122-140``): the left half walks indices
+    ``int(k * raw/sparse)`` from beam 0, the right half walks down from beam
+    ``raw - 1``, and the two meet in the middle.  For ``sparse == raw`` the
+    table is the identity.  NaN/inf -> 6.0 needs no equivalent: the engine's
+    ranges are clipped to ``max_range`` by construction.
+    """
+    step = float(raw) / float(sparse)
+    # Accumulate exactly like the reference loop: its running float index
+    # drifts (e.g. 6 * (512/24) accumulates to 127.999... -> 127, not 128),
+    # and that drift is part of the observed behavior.
+    left, index = [], 0.0
+    for _ in range(sparse // 2):
+        left.append(int(index))
+        index += step
+    right, index = [], raw - 1.0
+    for _ in range(sparse // 2):
+        right.append(int(index))
+        index -= step
+    return np.asarray(left + right[::-1], np.int32)
+
+
 def beam_directions_local(n_beams: int, fov: float) -> np.ndarray:
     """Unit beam directions in the robot body frame.
 

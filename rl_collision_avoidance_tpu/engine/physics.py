@@ -63,6 +63,72 @@ def wall_collision_packed(pos: jnp.ndarray, culled: jnp.ndarray,
     return jnp.any(d2 < radius * radius, axis=-1)
 
 
+def rect_wall_collision(pose: jnp.ndarray, culled: jnp.ndarray,
+                        half_len: float, half_wid: float) -> jnp.ndarray:
+    """Oriented-rectangle vs wall-segment overlap, (..., N) bool.
+
+    Stage's robot footprint is a 0.44 x 0.38 m box (worlds/stage1.world:83);
+    this is the exact body-frame test: each candidate segment is transformed
+    into the robot frame and clipped against the axis-aligned box
+    (Liang-Barsky slabs, branchless).
+
+    pose: (..., N, 3); culled: (..., N, K, 4) from the wall cell table —
+    which must be built with the rectangle's CIRCUMRADIUS so candidates
+    remain a superset.
+    """
+    c = jnp.cos(pose[..., 2])[..., None]
+    s = jnp.sin(pose[..., 2])[..., None]
+    rel = culled[..., :2] - pose[..., None, :2]              # (...,N,K,2)
+    p0x = rel[..., 0] * c + rel[..., 1] * s                  # body frame
+    p0y = -rel[..., 0] * s + rel[..., 1] * c
+    ex = culled[..., 2] * c + culled[..., 3] * s
+    ey = -culled[..., 2] * s + culled[..., 3] * c
+
+    def slab(p0, e, h):
+        e_safe = jnp.where(jnp.abs(e) < 1e-12,
+                           jnp.where(e < 0, -1e-12, 1e-12), e)
+        t0 = (-h - p0) / e_safe
+        t1 = (h - p0) / e_safe
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    nx0, nx1 = slab(p0x, ex, half_len)
+    ny0, ny1 = slab(p0y, ey, half_wid)
+    t_near = jnp.maximum(jnp.maximum(nx0, ny0), 0.0)
+    t_far = jnp.minimum(jnp.minimum(nx1, ny1), 1.0)
+    # degenerate padding entries have e = 0 and p0 far outside -> no hit
+    hit = t_near <= t_far
+    return jnp.any(hit, axis=-1)
+
+
+def rect_robot_collision(pose: jnp.ndarray, half_len: float,
+                         half_wid: float) -> jnp.ndarray:
+    """Pairwise oriented-rectangle overlap via the separating-axis test
+    (4 candidate axes for two 2-D boxes), self excluded.  (..., N) bool."""
+    c = jnp.cos(pose[..., 2])
+    s = jnp.sin(pose[..., 2])
+    u = jnp.stack([c, s], axis=-1)          # (..., N, 2) body x axis
+    v = jnp.stack([-s, c], axis=-1)         # body y axis
+    d = pose[..., None, :, :2] - pose[..., :, None, :2]      # (...,N,M,2)
+
+    def separated_on(axis):
+        # axis: (..., N, M, 2) unit vectors
+        proj_d = jnp.abs(jnp.sum(d * axis, axis=-1))
+        ri = (half_len * jnp.abs(jnp.sum(u[..., :, None, :] * axis, -1))
+              + half_wid * jnp.abs(jnp.sum(v[..., :, None, :] * axis, -1)))
+        rj = (half_len * jnp.abs(jnp.sum(u[..., None, :, :] * axis, -1))
+              + half_wid * jnp.abs(jnp.sum(v[..., None, :, :] * axis, -1)))
+        return proj_d > ri + rj
+
+    n = pose.shape[-2]
+    bc = lambda x: jnp.broadcast_to(x, d.shape)
+    sep = (separated_on(bc(u[..., :, None, :]))
+           | separated_on(bc(v[..., :, None, :]))
+           | separated_on(bc(u[..., None, :, :]))
+           | separated_on(bc(v[..., None, :, :])))
+    overlap = ~sep & ~jnp.eye(n, dtype=bool)
+    return jnp.any(overlap, axis=-1)
+
+
 def robot_collision(pos: jnp.ndarray, radius: float) -> jnp.ndarray:
     """(..., N) bool: pairwise disc overlap (diameter threshold), self excluded."""
     diff = pos[..., :, None, :] - pos[..., None, :, :]

@@ -88,3 +88,22 @@ def load_params(path: str, template: Any | None = None) -> Any:
     if template is not None:
         return c.restore(os.path.abspath(path), item=template)
     return c.restore(os.path.abspath(path))
+
+
+def save_params_npz(path: str, params: Any):
+    """Single-file params export (committable artifact, e.g. results/)."""
+    import numpy as np
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(jax.device_get(params))
+    np.savez_compressed(path, **{jax.tree_util.keystr(k): np.asarray(v)
+                                 for k, v in flat})
+
+
+def load_params_npz(path: str, template: Any) -> Any:
+    """Restore a ``save_params_npz`` file into ``template``'s structure."""
+    import numpy as np
+
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = [data[jax.tree_util.keystr(k)] for k, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

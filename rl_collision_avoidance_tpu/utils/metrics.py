@@ -29,11 +29,18 @@ class MetricLogger:
                           (self.ppo, "ppo.log")):
             lg.setLevel(logging.INFO)
             lg.propagate = False
-            if not lg.handlers:
-                h = logging.FileHandler(os.path.join(log_dir, fname), mode="a")
-                h.setFormatter(logging.Formatter("%(asctime)s - %(message)s"))
-                lg.addHandler(h)
-        if stdout and len(self.output.handlers) < 2:
+            # the named loggers are process-global: re-point any previous
+            # instance's file handlers at THIS logger's directory
+            for h in list(lg.handlers):
+                if isinstance(h, logging.FileHandler):
+                    lg.removeHandler(h)
+                    h.close()
+            h = logging.FileHandler(os.path.join(log_dir, fname), mode="a")
+            h.setFormatter(logging.Formatter("%(asctime)s - %(message)s"))
+            lg.addHandler(h)
+        if stdout and not any(isinstance(h, logging.StreamHandler)
+                              and not isinstance(h, logging.FileHandler)
+                              for h in self.output.handlers):
             sh = logging.StreamHandler(sys.stdout)
             self.output.addHandler(sh)
 

@@ -57,10 +57,21 @@ class WorldSpec:
 
     # --- robot / sensor constants (worlds/stage1.world:8-15,83) ---
     robot_radius: float = 0.22  # disc approx of the 0.44 x 0.38 footprint
+    # Collision footprint: "disc" (radius above, the fast default) or
+    # "rect" — Stage's exact 0.44 x 0.38 m oriented box (stage1.world:83)
+    # for wall and robot-robot collision.  Lidar silhouettes remain discs
+    # either way (see PARITY.md).
+    footprint: str = "disc"
+    rect_half_len: float = 0.22  # half of `size [0.44 0.38 0.22]` x
+    rect_half_wid: float = 0.19  # half of its y
     n_beams: int = 512
     fov: float = np.pi  # 180 degrees
     max_range: float = 6.0
     laser_frames: int = 3  # stacked lidar history (ppo_stage1.py:24)
+    # Observation beam count after the reference's sparse left/right
+    # resample (stage_world1.py:122-140); None = all n_beams (the
+    # reference's configs use beam_num == samples == 512, an identity).
+    obs_beams: int | None = None
 
     # --- timing: one policy step integrates `substeps` x `dt` seconds ---
     dt: float = 0.1

@@ -18,3 +18,26 @@ def test_circle_eval_runs_and_aggregates():
     # a random policy cannot cross a 50 m circle in 5 steps
     assert out["success_rate"] == 0.0
     assert out["unfinished"] + out["collisions"] == 50
+
+
+def test_circle_eval_batched_with_pose_noise():
+    model = CNNPolicy()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 512)),
+                        jnp.zeros((1, 2)), jnp.zeros((1, 2)))
+    out = run_circle_eval(params, model, max_steps=5, n_arenas=3,
+                          pose_noise=0.1)
+    assert out["n_arenas"] == 3
+    assert "success_rate_mean" in out and "success_rate_std" in out
+    assert 0.0 <= out["success_rate_mean"] <= 1.0
+
+
+def test_circle_eval_arena0_unperturbed_matches_single():
+    """Arena 0 keeps the exact reference scenario even with pose noise on."""
+    model = CNNPolicy()
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 3, 512)),
+                        jnp.zeros((1, 2)), jnp.zeros((1, 2)))
+    single = run_circle_eval(params, model, max_steps=4)
+    batched = run_circle_eval(params, model, max_steps=4, n_arenas=2,
+                              pose_noise=0.2)
+    assert batched["success_rate"] == single["success_rate"]
+    assert batched["collisions"] == single["collisions"]

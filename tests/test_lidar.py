@@ -70,3 +70,46 @@ def test_segment_chunking_consistent():
     a = lidar.scan(pose, DIRS, *segs1, 0.22, 6.0)
     b = lidar.scan(pose, DIRS, seg_p2, seg_e2, valid2, 0.22, 6.0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sparse_beam_index_identity():
+    idx = lidar.sparse_beam_index(512, 512)
+    np.testing.assert_array_equal(idx, np.arange(512))
+
+
+def test_sparse_beam_index_matches_reference_walk():
+    """Replicates stage_world1.py:122-140's two-pointer loop literally."""
+    raw, sparse = 512, 24
+    scan = np.arange(raw, dtype=float)
+    step = float(raw) / sparse
+    left, index = [], 0.0
+    for _ in range(sparse // 2):
+        left.append(scan[int(index)])
+        index += step
+    right, index = [], raw - 1.0
+    for _ in range(sparse // 2):
+        right.append(scan[int(index)])
+        index -= step
+    want = np.concatenate((left, right[::-1]))
+    got = scan[lidar.sparse_beam_index(raw, sparse)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_env_obs_beams_downsample():
+    import dataclasses
+
+    import jax
+
+    from rl_collision_avoidance_tpu.engine import make_env
+    from rl_collision_avoidance_tpu.worlds import mini
+
+    spec = dataclasses.replace(mini(), obs_beams=16)
+    env = make_env(spec)
+    state, obs = jax.jit(env.reset1)(jax.random.PRNGKey(0))
+    assert obs.scans.shape == (spec.n_robots, 3, 16)
+    full = make_env(mini())
+    s2, o2 = jax.jit(full.reset1)(jax.random.PRNGKey(0))
+    idx = lidar.sparse_beam_index(spec.n_beams, 16)
+    np.testing.assert_allclose(np.asarray(obs.scans[:, -1]),
+                               np.asarray(o2.scans[:, -1])[:, idx],
+                               atol=1e-6)

@@ -63,3 +63,60 @@ def test_free_motion_no_stall():
         SEG_P, SEG_E, VALID, 0.22)
     assert not bool(stalled.any())
     assert not np.allclose(np.asarray(new), np.asarray(pose))
+
+
+def test_rect_wall_collision_discriminates_from_disc():
+    """The 0.44 x 0.38 box (stage1.world:83) vs the 0.22 disc: a wall at
+    lateral distance 0.20 hits the disc but clears the box's 0.19 half-width;
+    a wall 0.21 ahead hits both."""
+    from rl_collision_avoidance_tpu.engine.physics import (
+        rect_wall_collision, wall_collision_packed)
+    hl, hw = 0.22, 0.19
+
+    def seg(px, py, ex, ey):
+        return jnp.asarray([[[[px, py, ex, ey]]]], jnp.float32)  # (1,1,1,4)
+
+    pose = jnp.asarray([[[0.0, 0.0, 0.0]]])          # (1,1,3), theta=0
+    side = seg(-1.0, 0.20, 2.0, 0.0)                  # y = 0.20 horizontal
+    front = seg(0.21, -1.0, 0.0, 2.0)                 # x = 0.21 vertical
+    assert not bool(rect_wall_collision(pose, side, hl, hw)[0, 0])
+    assert bool(wall_collision_packed(pose[..., :2], side, 0.22)[0, 0])
+    assert bool(rect_wall_collision(pose, front, hl, hw)[0, 0])
+    # rotate 90 degrees: the long side now faces y, so y=0.20 hits
+    pose90 = jnp.asarray([[[0.0, 0.0, np.pi / 2]]])
+    assert bool(rect_wall_collision(pose90, side, hl, hw)[0, 0])
+    assert not bool(rect_wall_collision(pose90, seg(0.21, -1.0, 0.0, 2.0),
+                                        hl, hw)[0, 0])
+
+
+def test_rect_robot_collision_sat():
+    from rl_collision_avoidance_tpu.engine.physics import (
+        rect_robot_collision, robot_collision)
+    hl, hw = 0.22, 0.19
+    # two aligned boxes 0.39 apart laterally: boxes clear (2*0.19 = 0.38),
+    # discs of r=0.22 overlap (0.39 < 0.44)
+    pose = jnp.asarray([[[0.0, 0.0, 0.0], [0.0, 0.39, 0.0]]])
+    assert not bool(rect_robot_collision(pose, hl, hw).any())
+    assert bool(robot_collision(pose[..., :2], 0.22).any())
+    # head-on 0.43 apart along x: boxes overlap (2*0.22 = 0.44 > 0.43)
+    pose2 = jnp.asarray([[[0.0, 0.0, 0.0], [0.43, 0.0, 0.0]]])
+    assert bool(rect_robot_collision(pose2, hl, hw).any())
+    # one rotated 90 degrees at 0.42 along x: 0.22 + 0.19 = 0.41 < 0.42
+    pose3 = jnp.asarray([[[0.0, 0.0, 0.0], [0.42, 0.0, np.pi / 2]]])
+    assert not bool(rect_robot_collision(pose3, hl, hw).any())
+
+
+def test_env_rect_footprint_steps():
+    import dataclasses
+
+    import jax
+
+    from rl_collision_avoidance_tpu.engine import make_env
+    from rl_collision_avoidance_tpu.worlds import mini
+
+    spec = dataclasses.replace(mini(), footprint="rect")
+    env = make_env(spec, lidar_mode="xla")
+    state, obs = jax.jit(env.reset1)(jax.random.PRNGKey(0))
+    act = jnp.tile(jnp.asarray([[1.0, 0.0]]), (spec.n_robots, 1))
+    state, obs, r, done, info = jax.jit(env.step1)(state, act)
+    assert np.isfinite(np.asarray(r)).all()
