@@ -21,19 +21,30 @@ import jax.numpy as jnp
 BASELINE_STEPS_PER_S = 5.0e6
 
 
-def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.bfloat16,
-               lidar_mode: str | None = None):
+def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
+               lidar_mode: str | None = None, world: str = "stage1",
+               shard: bool = False):
     from .engine.env import Env
-    from .models import CNNPolicy, distributions
-    from .worlds import stage1
+    from .models import CNNPolicy
+    from .worlds import get_world
+    from . import models
 
-    spec = stage1()
+    distributions = models.distributions
+    spec = get_world(world)
     env = Env(spec, lidar_mode=lidar_mode)
     model = CNNPolicy(dtype=policy_dtype)
     key = jax.random.PRNGKey(0)
-    params = model.init(key, jnp.zeros((1, 3, 512)), jnp.zeros((1, 2)),
+    f, b = spec.laser_frames, spec.obs_beams or spec.n_beams
+    params = model.init(key, jnp.zeros((1, f, b)), jnp.zeros((1, 2)),
                         jnp.zeros((1, 2)))
     env_state, obs = env.reset(jax.random.split(key, n_arenas))
+    if shard:
+        from .parallel import mesh as meshlib
+
+        mesh = meshlib.make_mesh()
+        env_state = meshlib.shard_arenas(env_state, mesh)
+        obs = meshlib.shard_arenas(obs, mesh)
+        params = meshlib.replicate(params, mesh)
 
     # params flow in as a jit ARGUMENT: closing over a device array (of any
     # size) permanently poisons axon dispatch (docs/PERF.md).
@@ -64,9 +75,10 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.bfloat16,
 
 
 def measure(n_arenas: int = 512, inner_steps: int = 256, repeats: int = 5,
-            policy_dtype=jnp.bfloat16, lidar_mode: str | None = None):
+            policy_dtype=jnp.float32, lidar_mode: str | None = None,
+            world: str = "stage1", shard: bool = False):
     spec, run, carry = build_step(n_arenas, inner_steps, policy_dtype,
-                                  lidar_mode)
+                                  lidar_mode, world, shard)
     env_state, obs, key = carry
     # compile + warmup.  NOTE: timings must fetch a result to host —
     # block_until_ready returns early on the axon runtime (docs/PERF.md).
@@ -83,32 +95,120 @@ def measure(n_arenas: int = 512, inner_steps: int = 256, repeats: int = 5,
     return best
 
 
+def measure_training(n_arenas: int = 32, updates: int = 5, world: str = "stage1"):
+    """Full training throughput: rollout + GAE + PPO env-steps per second
+    (one Trainer update = HORIZON env steps per robot, like the reference's
+    buffer/update unit at ppo_stage1.py:102-116)."""
+    from .train import TrainConfig, Trainer
+
+    cfg = (TrainConfig.stage1 if world == "stage1"
+           else TrainConfig.stage2)(n_arenas=n_arenas)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    state, metrics = tr._step_fn(state)               # compile + warmup
+    jax.device_get(metrics["policy_loss"])
+    steps_per_update = cfg.horizon * n_arenas * tr.spec.n_robots
+    best = 0.0
+    for _ in range(updates):
+        t0 = time.perf_counter()
+        state, metrics = tr._step_fn(state)
+        jax.device_get(metrics["policy_loss"])
+        best = max(best, steps_per_update / (time.perf_counter() - t0))
+    return best
+
+
+def measure_scaling(n_devices: int, arenas_per_device: int = 4,
+                    inner_steps: int = 64):
+    """Data-parallel scaling proof on virtual CPU devices: steps/s at 1 vs
+    N devices with arenas scaled proportionally.  Runs in subprocesses so
+    XLA_FLAGS can differ; on an oversubscribed host (virtual devices >>
+    cores) the efficiency bounds below hardware reality — the point is that
+    the sharded program runs and scales, cf. tests/test_distributed.py for
+    the multi-process equivalent."""
+    import os
+    import subprocess
+    import sys
+
+    rates = {}
+    for d in (1, n_devices):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": (env.get("XLA_FLAGS", "")
+                          + f" --xla_force_host_platform_device_count={d}").strip(),
+        })
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "from rl_collision_avoidance_tpu.bench import measure;"
+            f"print('RATE', measure({arenas_per_device * d}, {inner_steps},"
+            f" repeats=3, world='mini', shard=True))"
+        )
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__))))
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr[-2000:])
+        rates[d] = float([l for l in out.stdout.splitlines()
+                          if l.startswith("RATE")][0].split()[1])
+    return rates[1], rates[n_devices]
+
+
 def main(argv=None):
+    import sys
+
     from .utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--arenas", type=int, default=None)
-    p.add_argument("--inner-steps", type=int, default=32)
+    p.add_argument("--inner-steps", type=int, default=256)
     p.add_argument("--repeats", type=int, default=5)
-    p.add_argument("--f32", action="store_true",
-                   help="policy in float32 instead of bfloat16")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 policy instead of the f32 parity default")
     p.add_argument("--lidar", choices=["xla", "pallas", "dense"], default=None,
                    help="lidar backend (default: engine's platform default)")
+    p.add_argument("--train", action="store_true",
+                   help="measure full training (rollout+GAE+PPO) throughput")
+    p.add_argument("--scaling", type=int, default=None, metavar="N",
+                   help="CPU data-parallel scaling proof at N virtual devices")
     args = p.parse_args(argv)
 
+    if args.scaling:
+        r1, rn = measure_scaling(args.scaling)
+        print(json.dumps({
+            "metric": f"cpu_scaling_efficiency_{args.scaling}dev",
+            "value": round(rn / (args.scaling * r1), 4),
+            "unit": "fraction",
+            "vs_baseline": round(rn / (args.scaling * r1) / 0.8, 4),
+            "steps_per_s_1dev": round(r1, 1),
+            f"steps_per_s_{args.scaling}dev": round(rn, 1),
+        }))
+        return
+
     platform = jax.devices()[0].platform
+    if args.train:
+        n_arenas = args.arenas or (32 if platform != "cpu" else 2)
+        steps_per_s = measure_training(n_arenas, updates=args.repeats)
+        print(json.dumps({
+            "metric": "stage1_training_steps_per_s",
+            "value": round(steps_per_s, 1),
+            "unit": "robot-steps/s",
+            "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
+        }))
+        return
+
     n_arenas = args.arenas or (128 if platform != "cpu" else 8)
-    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     steps_per_s = None
     while n_arenas >= 1:
         try:
             steps_per_s = measure(n_arenas, args.inner_steps, args.repeats,
                                   dtype, args.lidar)
             break
-        except Exception as e:  # compile/OOM fallback: halve the batch
-            print(f"bench: {n_arenas} arenas failed ({type(e).__name__}); "
-                  "retrying smaller", file=__import__("sys").stderr)
+        except Exception:  # compile/OOM fallback: halve the batch
+            print(f"bench: {n_arenas} arenas failed; retrying smaller",
+                  file=sys.stderr)
             n_arenas //= 2
     if steps_per_s is None:
         raise SystemExit("bench failed at all arena counts")
