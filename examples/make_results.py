@@ -138,6 +138,47 @@ def main():
     with open(os.path.join(RESULTS, "circle_eval.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(ev))
+    render_circle_gif(params, model)
+
+
+def render_circle_gif(params, model, steps: int = 600, every: int = 6,
+                      pose_noise: float = 0.1):
+    """The reference README's demo GIF, regenerated from the trained policy
+    (tiny initial-pose jitter breaks the scenario's exact rotational
+    symmetry, as the reference's async ROS timing does implicitly)."""
+    import jax.numpy as jnp
+
+    from rl_collision_avoidance_tpu.engine.env import Env
+    from rl_collision_avoidance_tpu.utils.render import save_trajectory_gif
+    from rl_collision_avoidance_tpu.worlds import circle as circle_world
+
+    spec = circle_world()
+    env = Env(spec)
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key[None])
+    noise = jax.random.uniform(key, (1, spec.n_robots, 2),
+                               minval=-pose_noise, maxval=pose_noise)
+    pose = state.pose.at[..., :2].add(noise)
+    state = env.teleport(state, pose)
+    state = state.replace(scan_hist=jnp.repeat(
+        env._scan_obs(pose)[:, :, None, :], env.frames, axis=2))
+    obs = env._obs(state)
+
+    @jax.jit
+    def rollout(params, state, obs):
+        def body(carry, _):
+            state, obs = carry
+            v, m, ls = model.apply(params, obs.scans[0], obs.goal[0],
+                                   obs.speed[0])
+            act = jnp.stack([jnp.clip(m[:, 0], 0, 1),
+                             jnp.clip(m[:, 1], -1, 1)], -1)[None]
+            state, obs, r, d, info = env.step(state, act)
+            return (state, obs), state.pose[0]
+        return jax.lax.scan(body, (state, obs), None, length=steps)[1]
+
+    poses = jax.device_get(rollout(params, state, obs))
+    save_trajectory_gif(os.path.join(RESULTS, "circle_demo.gif"), spec,
+                        poses[::every], jax.device_get(state.goal[0]))
 
     plot_curves()
     meta["finished_unix"] = time.time()
