@@ -74,7 +74,7 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
     return spec, run_threaded, (env_state, obs, key)
 
 
-def measure(n_arenas: int = 512, inner_steps: int = 256, repeats: int = 5,
+def measure(n_arenas: int = 512, inner_steps: int = 1024, repeats: int = 5,
             policy_dtype=jnp.float32, lidar_mode: str | None = None,
             world: str = "stage1", shard: bool = False):
     spec, run, carry = build_step(n_arenas, inner_steps, policy_dtype,
@@ -162,7 +162,9 @@ def main(argv=None):
     enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--arenas", type=int, default=None)
-    p.add_argument("--inner-steps", type=int, default=256)
+    # Long inner scans amortize the fixed per-dispatch cost (~26 ms through
+    # the axon tunnel, docs/PERF.md) — ~0.025 ms/step at 1024.
+    p.add_argument("--inner-steps", type=int, default=1024)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 policy instead of the f32 parity default")

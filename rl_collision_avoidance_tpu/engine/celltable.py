@@ -43,7 +43,13 @@ def _point_segment_dist(pts, seg_p, seg_e):
 
 def build_cell_table(seg_p, seg_e, seg_valid, max_range: float,
                      cell: float = 1.0, pad_multiple: int = 8) -> CellTable:
-    """Host-side, once per world."""
+    """Host-side, once per world.
+
+    ``pad_multiple``: K is rounded up to this multiple.  The Pallas kernel
+    wants sublane-aligned 8; the fused XLA path keeps K as an outer loop
+    dimension, so every padding entry is pure wasted compute — pass 2 there
+    (stage 1: K 16 -> 10, a measured ~20% off the whole lidar).
+    """
     seg_p = np.asarray(seg_p, np.float32)[np.asarray(seg_valid)]
     seg_e = np.asarray(seg_e, np.float32)[np.asarray(seg_valid)]
     lo = np.minimum(seg_p, seg_p + seg_e).min(axis=0)

@@ -48,14 +48,15 @@ W_MIN, W_MAX = -1.0, 1.0
 _CELL_TABLE_CACHE: dict = {}
 
 
-def _cell_table_for(spec: WorldSpec):
+def _cell_table_for(spec: WorldSpec, pad_multiple: int = 8):
     """Build (once per world per process) the static culling table."""
-    key = (spec.name, spec.n_segments, spec.max_range)
+    key = (spec.name, spec.n_segments, spec.max_range, pad_multiple)
     if key not in _CELL_TABLE_CACHE:
         from .celltable import build_cell_table
 
         _CELL_TABLE_CACHE[key] = build_cell_table(
-            spec.seg_p, spec.seg_e, spec.seg_valid, spec.max_range, cell=1.0)
+            spec.seg_p, spec.seg_e, spec.seg_valid, spec.max_range, cell=1.0,
+            pad_multiple=pad_multiple)
     return _CELL_TABLE_CACHE[key]
 
 
@@ -136,19 +137,23 @@ class Env:
         if lidar_mode != "dense":
             from .celltable import build_cell_table, lookup_cells
 
-            ct = _cell_table_for(spec)
+            # Pallas wants the K axis sublane-aligned (multiple of 8); the
+            # fused XLA path keeps K as an outer loop dim where padding is
+            # pure wasted pair tests — use the tightest even K there.
+            ct = _cell_table_for(spec, pad_multiple=8 if lidar_mode == "pallas"
+                                 else 2)
             self._cell_table_meta = ct
             self._cell_table = np.asarray(ct.table)
             self._lookup_cells = lookup_cells
             # Separate table for wall-collision: candidates only need to be
             # within the footprint's circumradius (not max_range), so K
-            # drops from ~16 to ~8 (pad minimum).
+            # drops from ~16 to ~4.
             reach = spec.robot_radius
             if spec.footprint == "rect":
                 reach = max(reach, float(np.hypot(spec.rect_half_len,
                                                   spec.rect_half_wid)))
             ctw = build_cell_table(spec.seg_p, spec.seg_e, spec.seg_valid,
-                                   reach, cell=1.0)
+                                   reach, cell=1.0, pad_multiple=2)
             self._wall_table_meta = ctw
             self._wall_table = np.asarray(ctw.table)
         if lidar_mode == "pallas":
