@@ -104,8 +104,12 @@ def plot_curves():
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--stage1-updates", type=int, default=1200)
-    p.add_argument("--stage2-updates", type=int, default=800)
+    # Grad-step parity with the reference run: ~5000 episodes/rank at ~6
+    # gradient steps per 128-step update (ppo_stage1.py:22-35) lands near
+    # 30k grad steps; 5000 updates x 6 here matches that, where round 2's
+    # 1200 cut the curve off still climbing.
+    p.add_argument("--stage1-updates", type=int, default=5000)
+    p.add_argument("--stage2-updates", type=int, default=2500)
     args = p.parse_args()
     if args.quick:
         args.stage1_updates, args.stage2_updates = 5, 5
@@ -130,8 +134,8 @@ def main():
                       jax.numpy.zeros((1, 2)))
     params = load_params_npz(os.path.join(RESULTS, "stage2_params.npz"), tmpl)
     t0 = time.time()
-    ev = run_circle_eval(params, model, max_steps=2000)
-    ev_noise = run_circle_eval(params, model, max_steps=2000, n_arenas=16,
+    ev = run_circle_eval(params, model, max_steps=3000)
+    ev_noise = run_circle_eval(params, model, max_steps=3000, n_arenas=16,
                                pose_noise=0.1)
     out = {"deterministic": ev, "pose_noise_study": ev_noise,
            "eval_wall_s": round(time.time() - t0, 1)}
@@ -139,6 +143,11 @@ def main():
         json.dump(out, f, indent=2)
     print(json.dumps(ev))
     render_circle_gif(params, model)
+
+    plot_curves()
+    meta["finished_unix"] = time.time()
+    with open(os.path.join(RESULTS, "META.json"), "w") as f:
+        json.dump(meta, f, indent=2)
 
 
 def render_circle_gif(params, model, steps: int = 600, every: int = 6,
@@ -179,11 +188,6 @@ def render_circle_gif(params, model, steps: int = 600, every: int = 6,
     poses = jax.device_get(rollout(params, state, obs))
     save_trajectory_gif(os.path.join(RESULTS, "circle_demo.gif"), spec,
                         poses[::every], jax.device_get(state.goal[0]))
-
-    plot_curves()
-    meta["finished_unix"] = time.time()
-    with open(os.path.join(RESULTS, "META.json"), "w") as f:
-        json.dump(meta, f, indent=2)
 
 
 if __name__ == "__main__":

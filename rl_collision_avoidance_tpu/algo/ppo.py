@@ -12,6 +12,7 @@ Differences by design:
 """
 from __future__ import annotations
 
+import warnings
 from typing import NamedTuple
 
 import jax
@@ -19,6 +20,22 @@ import jax.numpy as jnp
 import optax
 
 from ..models import distributions
+
+
+def _warn_dropped(m: int, used: int, batch_size: int):
+    """Shapes are static, so this fires at trace time, not per step.
+
+    Reference stage-1 keeps the remainder minibatch (drop_last=False,
+    ``model/ppo.py:161``); here a fixed minibatch count is required for the
+    on-device scan, so the remainder is re-drawn into no minibatch.  Exact
+    for every preset config (rollouts are multiples of the batch size) —
+    warn loudly for custom shapes instead of silently losing data."""
+    if used < m:
+        warnings.warn(
+            f"PPO rollout of {m} samples is not divisible by batch_size "
+            f"{batch_size}: {m - used} samples per epoch are dropped "
+            "(the reference's stage-1 drop_last=False would keep them)",
+            stacklevel=3)
 
 
 class PPOConfig(NamedTuple):
@@ -102,6 +119,7 @@ def ppo_update_sharded(apply_fn, params, opt_state, tx, batch: Batch, key,
     assert n_mb > 0, "batch_size larger than rollout"
     bs_local = cfg.batch_size // n_dev
     used = n_mb * bs_local
+    _warn_dropped(m, used * n_dev, cfg.batch_size)
 
     def local_update(params, opt_state, lbatch, key):
         ax = jax.lax.axis_index(data_axis)
@@ -179,6 +197,7 @@ def ppo_update(apply_fn, params, opt_state, tx, batch: Batch, key,
     n_mb = m // cfg.batch_size
     assert n_mb > 0, "batch_size larger than rollout"
     used = n_mb * cfg.batch_size
+    _warn_dropped(m, used, cfg.batch_size)
 
     grad_fn = jax.grad(lambda p, mb: ppo_loss(apply_fn, p, mb, cfg),
                        has_aux=True)

@@ -72,6 +72,12 @@ def main_circle(argv=None):
                         "random-init policy if omitted")
     p.add_argument("--max-steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--arenas", type=int, default=1,
+                   help="replicas of the scenario (with --pose-noise: a "
+                        "robustness study with mean±std across arenas)")
+    p.add_argument("--pose-noise", type=float, default=0.0,
+                   help="uniform per-robot initial-pose jitter in meters "
+                        "(arena 0 always stays the exact reference scenario)")
     args = p.parse_args(argv)
 
     from .eval.circle import run_circle_eval
@@ -91,7 +97,8 @@ def main_circle(argv=None):
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 512)),
                             jnp.zeros((1, 2)), jnp.zeros((1, 2)))
     print(json.dumps(run_circle_eval(params, model, max_steps=args.max_steps,
-                                     seed=args.seed)))
+                                     seed=args.seed, n_arenas=args.arenas,
+                                     pose_noise=args.pose_noise)))
 
 
 def main_bench(argv=None):

@@ -124,7 +124,11 @@ def make_scan_fn(n_beams: int, fov: float, radius: float, max_range: float,
             n if n <= unroll_limit else 0)
         if unrolled:
             budget = 12 * 2**20  # leave headroom under the 16 MB limit
-            while g > 1 and g * n * n_beams * 4 * (unrolled + 6) > budget:
+            # Mosaic keeps ~2 (rows, beams) f32 temporaries live per unrolled
+            # iteration plus the loop-carried accumulator set (measured: the
+            # old (unrolled + 6) estimate under-counted 2.2x and OOM'd the
+            # VMEM stack at A=512, g=8, k=16, n=24 -> 18.6 MB actual).
+            while g > 1 and g * n * n_beams * 4 * (2 * unrolled + 16) > budget:
                 g //= 2
         while a % g:
             g //= 2

@@ -174,3 +174,28 @@ def test_valid_mask_matches_reference_filter():
     deleted = np.nonzero(dead_at_start.reshape(-1))[0]
     # flat index num_env*j + i == row-major over (t, e)
     np.testing.assert_array_equal(sorted(filter_idx), deleted)
+
+
+def test_ppo_update_warns_on_dropped_remainder():
+    """A rollout not divisible by batch_size silently lost samples in round 1
+    (VERDICT weak #7); now it must warn at trace time, and preset-exact
+    shapes must stay silent."""
+    import warnings
+
+    import optax
+
+    apply_fn, params = _apply_fn()
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    batch = _toy_batch(60)  # 60 % 16 != 0 -> 12 dropped per epoch
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        ppo_update(apply_fn, params, opt_state, tx, batch,
+                   jax.random.PRNGKey(0), PPOConfig(batch_size=16, epochs=1))
+    assert any("dropped" in str(w.message) for w in rec)
+    batch = _toy_batch(64)  # exact multiple -> no warning
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        ppo_update(apply_fn, params, opt_state, tx, batch,
+                   jax.random.PRNGKey(0), PPOConfig(batch_size=16, epochs=1))
+    assert not any("dropped" in str(w.message) for w in rec)
