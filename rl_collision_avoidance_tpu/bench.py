@@ -23,7 +23,7 @@ BASELINE_STEPS_PER_S = 5.0e6
 
 def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
                lidar_mode: str | None = None, world: str = "stage1",
-               shard: bool = False):
+               shard: bool = False, disc_cull_k: int | None = None):
     from .engine.env import Env
     from .models import CNNPolicy
     from .worlds import get_world
@@ -31,7 +31,7 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
 
     distributions = models.distributions
     spec = get_world(world)
-    env = Env(spec, lidar_mode=lidar_mode)
+    env = Env(spec, lidar_mode=lidar_mode, disc_cull_k=disc_cull_k)
     model = CNNPolicy(dtype=policy_dtype)
     key = jax.random.PRNGKey(0)
     f, b = spec.laser_frames, spec.obs_beams or spec.n_beams
@@ -76,9 +76,10 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
 
 def measure(n_arenas: int = 512, inner_steps: int = 1024, repeats: int = 5,
             policy_dtype=jnp.float32, lidar_mode: str | None = None,
-            world: str = "stage1", shard: bool = False):
+            world: str = "stage1", shard: bool = False,
+            disc_cull_k: int | None = None):
     spec, run, carry = build_step(n_arenas, inner_steps, policy_dtype,
-                                  lidar_mode, world, shard)
+                                  lidar_mode, world, shard, disc_cull_k)
     env_state, obs, key = carry
     # compile + warmup.  NOTE: timings must fetch a result to host —
     # block_until_ready returns early on the axon runtime (docs/PERF.md).
@@ -170,6 +171,10 @@ def main(argv=None):
                    help="bfloat16 policy instead of the f32 parity default")
     p.add_argument("--lidar", choices=["xla", "pallas", "dense"], default=None,
                    help="lidar backend (default: engine's platform default)")
+    p.add_argument("--disc-cull", type=int, default=None, metavar="K",
+                   help="opt-in approximate disc culling (k nearest "
+                        "neighbors; NOT the parity config — see "
+                        "lidar.raycast_culled)")
     p.add_argument("--train", action="store_true",
                    help="measure full training (rollout+GAE+PPO) throughput")
     p.add_argument("--scaling", type=int, default=None, metavar="N",
@@ -206,7 +211,8 @@ def main(argv=None):
     while n_arenas >= 1:
         try:
             steps_per_s = measure(n_arenas, args.inner_steps, args.repeats,
-                                  dtype, args.lidar)
+                                  dtype, args.lidar,
+                                  disc_cull_k=args.disc_cull)
             break
         except Exception:  # compile/OOM fallback: halve the batch
             print(f"bench: {n_arenas} arenas failed; retrying smaller",

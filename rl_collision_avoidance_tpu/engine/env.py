@@ -105,8 +105,14 @@ class Env:
     """
 
     def __init__(self, spec: WorldSpec, use_pallas: bool | None = None,
-                 lidar_mode: str | None = None):
+                 lidar_mode: str | None = None,
+                 disc_cull_k: int | None = None):
+        """``disc_cull_k``: opt-in APPROXIMATE lidar disc culling (test each
+        robot's beams against only its k nearest neighbors; exact while at
+        most k robots are in sensor range) — see lidar.raycast_culled.  The
+        default (None) is the exact parity configuration."""
         self.spec = spec
+        self.disc_cull_k = disc_cull_k
         self.n_robots = spec.n_robots
         self.n_beams = spec.n_beams
         self.obs_beams = spec.obs_beams or spec.n_beams
@@ -199,7 +205,8 @@ class Env:
         if self.lidar_mode == "xla":
             return lidar.raycast_culled(
                 pose, self._local_dirs, self._culled_for(pose[..., :2]),
-                self.spec.robot_radius, self.spec.max_range)
+                self.spec.robot_radius, self.spec.max_range,
+                disc_k=self.disc_cull_k)
         if self.lidar_mode == "pallas":
             culled = jnp.swapaxes(self._culled_for(pose[..., :2]), 1, 2)
             return self._pallas_scan(pose, culled)

@@ -131,7 +131,7 @@ def raycast_discs(origins, dirs, centers, radius, exists=None):
     return jnp.min(jnp.where(hit, t, _BIG), axis=-1)
 
 
-def raycast_culled(pose, local_dirs, culled, radius, max_range):
+def raycast_culled(pose, local_dirs, culled, radius, max_range, disc_k=None):
     """Fused culled raycast, batched over arenas — pure XLA, no custom call.
 
     pose: (A, N, 3); local_dirs: (B, 2); culled: (A, N, K, 4) [px,py,ex,ey]
@@ -146,6 +146,15 @@ def raycast_culled(pose, local_dirs, culled, radius, max_range):
     traffic stays at inputs + output — on the axon runtime this beats the
     Pallas kernel below A~1k arenas because every custom call pays a ~0.4 ms
     fixed dispatch cost (docs/PERF.md).
+
+    ``disc_k``: optional APPROXIMATE robot-disc culling — test each robot's
+    beams against only its ``disc_k`` nearest neighbor discs (runtime
+    top-k per step).  Exact whenever at most ``disc_k`` robots are within
+    ``max_range + radius`` (and ``disc_k >= N-1`` is always exact); in
+    denser pileups a beam may keep a slightly-far reading where a farther
+    robot would have been hit, and such robots are usually occluded by the
+    kept nearer ones.  NOT part of the parity configuration — opt in via
+    ``Env(disc_cull_k=...)`` for throughput beyond the exact path.
     """
     n = pose.shape[-2]
     x = pose[..., 0:1]
@@ -170,8 +179,14 @@ def raycast_culled(pose, local_dirs, culled, radius, max_range):
     oc = pose[..., None, :, :2] - pose[..., :, None, :2]  # (A,N,M,2)
     c2 = jnp.sum(oc * oc, axis=-1) - radius * radius      # (A,N,M)
     c2 = jnp.where(jnp.eye(n, dtype=bool), _BIG, c2)
-    b = (dx[..., None] * oc[..., None, :, 0]
-         + dy[..., None] * oc[..., None, :, 1])           # (A,N,B,M)
+    ocx, ocy = oc[..., 0], oc[..., 1]
+    if disc_k is not None and disc_k < n:
+        # keep the disc_k nearest discs per robot (c2 orders by distance)
+        neg_c2, idx = jax.lax.top_k(-c2, disc_k)          # (A,N,Kd)
+        take = lambda v: jnp.take_along_axis(v, idx, axis=-1)
+        c2, ocx, ocy = -neg_c2, take(ocx), take(ocy)
+    b = (dx[..., None] * ocx[..., None, :]
+         + dy[..., None] * ocy[..., None, :])             # (A,N,B,M|Kd)
     disc = b * b - c2[..., None, :]
     td = b - jnp.sqrt(jnp.maximum(disc, 0.0))
     hitd = (disc > 0.0) & (td > _EPS)

@@ -68,6 +68,9 @@ def _run(params, model, env, max_steps, keys, pose_noise):
     return done_step, first_result, start_dist
 
 
+_ENV_CACHE: dict = {}
+
+
 def run_circle_eval(params, model: CNNPolicy | None = None, spec=None,
                     max_steps: int = 2000, seed: int = 0, n_arenas: int = 1,
                     pose_noise: float = 0.0) -> dict:
@@ -79,7 +82,10 @@ def run_circle_eval(params, model: CNNPolicy | None = None, spec=None,
     """
     model = model or CNNPolicy()
     spec = spec or circle_world()
-    env = Env(spec)
+    # The jitted _run is keyed on the (static) env instance: reuse one per
+    # world so repeated evals (e.g. checkpoint selection during stage-2
+    # training) hit the jit cache instead of recompiling.
+    env = _ENV_CACHE.setdefault(spec.name, Env(spec))
     keys = jax.random.split(jax.random.PRNGKey(seed), n_arenas)
     done_step, first_result, start_dist = jax.device_get(
         _run(params, model, env, max_steps, keys, float(pose_noise)))

@@ -113,3 +113,33 @@ def test_env_obs_beams_downsample():
     np.testing.assert_allclose(np.asarray(obs.scans[:, -1]),
                                np.asarray(o2.scans[:, -1])[:, idx],
                                atol=1e-6)
+
+
+def test_disc_cull_exact_when_k_covers_neighbors():
+    """disc_cull_k (lidar.raycast_culled): k >= N-1 is always bit-identical
+    to the exact path, and a small k is identical whenever at most k robots
+    are within sensor range of each robot."""
+    import jax
+
+    from rl_collision_avoidance_tpu.engine.env import Env
+    from rl_collision_avoidance_tpu.worlds import stage1
+
+    spec = stage1()
+    env = Env(spec, lidar_mode="xla")
+    env_all = Env(spec, lidar_mode="xla", disc_cull_k=spec.n_robots - 1)
+    env_k4 = Env(spec, lidar_mode="xla", disc_cull_k=4)
+    key = jax.random.PRNGKey(3)
+    # random cluster: k = N-1 must match exactly
+    pose = jax.random.uniform(key, (2, spec.n_robots, 3),
+                              minval=-4.0, maxval=4.0)
+    exact = np.asarray(jax.jit(env._raw_scan)(pose))
+    allk = np.asarray(jax.jit(env_all._raw_scan)(pose))
+    np.testing.assert_array_equal(exact, allk)
+    # spread robots >max_range apart: any k is exact (no disc in range)
+    n = spec.n_robots
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    spread = np.stack([9.0 * np.cos(ang), 9.0 * np.sin(ang), ang],
+                      axis=-1).astype(np.float32)[None]
+    exact_s = np.asarray(jax.jit(env._raw_scan)(jnp.asarray(spread)))
+    k4_s = np.asarray(jax.jit(env_k4._raw_scan)(jnp.asarray(spread)))
+    np.testing.assert_array_equal(exact_s, k4_s)
