@@ -106,13 +106,28 @@ class Env:
 
     def __init__(self, spec: WorldSpec, use_pallas: bool | None = None,
                  lidar_mode: str | None = None,
-                 disc_cull_k: int | None = None):
+                 disc_cull_k: int | None = None,
+                 rect_silhouette: bool | None = None):
         """``disc_cull_k``: opt-in APPROXIMATE lidar disc culling (test each
         robot's beams against only its k nearest neighbors; exact while at
         most k robots are in sensor range) — see lidar.raycast_culled.  The
-        default (None) is the exact parity configuration."""
+        default (None) is the exact parity configuration.
+
+        ``rect_silhouette``: raytrace other robots as their oriented
+        0.44 x 0.38 m rectangles (Stage's exact behavior) instead of discs.
+        Defaults to True for ``footprint="rect"`` worlds — so "rect" gives
+        full Stage fidelity in both collision AND lidar — and False for the
+        disc worlds.  Requires the xla/dense lidar backends (the Pallas
+        kernel models disc silhouettes)."""
         self.spec = spec
         self.disc_cull_k = disc_cull_k
+        if rect_silhouette is None:
+            rect_silhouette = spec.footprint == "rect"
+        self.rect_silhouette = bool(rect_silhouette)
+        self._rect_dims = ((spec.rect_half_len, spec.rect_half_wid)
+                           if self.rect_silhouette else None)
+        if self.rect_silhouette and disc_cull_k is not None:
+            raise ValueError("disc_cull_k applies to disc silhouettes only")
         self.n_robots = spec.n_robots
         self.n_beams = spec.n_beams
         self.obs_beams = spec.obs_beams or spec.n_beams
@@ -133,6 +148,10 @@ class Env:
             else:
                 lidar_mode = "pallas" if use_pallas else "dense"
         assert lidar_mode in ("xla", "pallas", "dense"), lidar_mode
+        if self.rect_silhouette and lidar_mode == "pallas":
+            raise ValueError(
+                "rect_silhouette needs lidar_mode='xla' or 'dense' "
+                "(the Pallas kernel models disc silhouettes)")
         self.lidar_mode = lidar_mode
         self.use_pallas = lidar_mode == "pallas"
         # World constants are kept as NUMPY arrays on purpose: numpy captures
@@ -206,13 +225,14 @@ class Env:
             return lidar.raycast_culled(
                 pose, self._local_dirs, self._culled_for(pose[..., :2]),
                 self.spec.robot_radius, self.spec.max_range,
-                disc_k=self.disc_cull_k)
+                disc_k=self.disc_cull_k, rect=self._rect_dims)
         if self.lidar_mode == "pallas":
             culled = jnp.swapaxes(self._culled_for(pose[..., :2]), 1, 2)
             return self._pallas_scan(pose, culled)
         per_arena = lambda p: lidar.scan(
             p, self._local_dirs, self._seg_p, self._seg_e, self._seg_valid,
-            self.spec.robot_radius, self.spec.max_range)
+            self.spec.robot_radius, self.spec.max_range,
+            rect=self._rect_dims)
         return jax.vmap(per_arena)(pose)
 
     def _scan_obs(self, pose):

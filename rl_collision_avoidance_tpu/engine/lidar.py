@@ -131,7 +131,56 @@ def raycast_discs(origins, dirs, centers, radius, exists=None):
     return jnp.min(jnp.where(hit, t, _BIG), axis=-1)
 
 
-def raycast_culled(pose, local_dirs, culled, radius, max_range, disc_k=None):
+def raycast_boxes(pose, dx, dy, half_len, half_wid):
+    """Min hit distance of each robot's rays against the other robots'
+    ORIENTED RECTANGLES — Stage raytraces the actual 0.44 x 0.38 m footprint
+    box (``worlds/stage1.world:83``), which this reproduces exactly for
+    ``WorldSpec(footprint="rect")`` worlds (the disc silhouette of
+    :func:`raycast_discs` is the fast approximation used for disc worlds).
+
+    pose: (..., N, 3); dx/dy: (..., N, B) world-frame beam components.
+    Returns (..., N, B) distances (BIG where no hit), self excluded.
+
+    Slab method in each target box's body frame: with p = R_j^T (o_i - c_j)
+    and q = R_j^T d, the entry distance is t_near = max_axis(min(t0, t1)),
+    t{0,1} = (±h - p) / q; hit iff t_near <= t_far and t_near > 0 (a ray
+    starting inside a box reports no hit, matching the disc path's behavior
+    for overlapping robots).
+    """
+    n = pose.shape[-2]
+    c, s = jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])      # (..., N)
+    # center_j - origin_i, then into box j's frame -> p (..., N_i, M_j)
+    oc = pose[..., None, :, :2] - pose[..., :, None, :2]     # (..., N, M, 2)
+    ocx, ocy = oc[..., 0], oc[..., 1]
+    cj, sj = c[..., None, :], s[..., None, :]                # (..., 1, M)
+    px = -(ocx * cj + ocy * sj)
+    py = -(-ocx * sj + ocy * cj)
+    # beam dirs into box j's frame -> q (..., N, B, M)
+    cjb, sjb = c[..., None, None, :], s[..., None, None, :]
+    qx = dx[..., None] * cjb + dy[..., None] * sjb
+    qy = -dx[..., None] * sjb + dy[..., None] * cjb
+
+    def slab(p, q, h):
+        # sign-preserving guard: q == 0 with p inside the slab gives
+        # (-BIG, +BIG); outside, both bounds land on the same side.
+        q_safe = jnp.where(q >= 0.0, jnp.maximum(q, _EPS),
+                           jnp.minimum(q, -_EPS))
+        r = 1.0 / q_safe
+        t0 = (-h - p) * r
+        t1 = (h - p) * r
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    tx0, tx1 = slab(px[..., None, :], qx, half_len)
+    ty0, ty1 = slab(py[..., None, :], qy, half_wid)
+    t_near = jnp.maximum(tx0, ty0)
+    t_far = jnp.minimum(tx1, ty1)
+    hit = (t_near <= t_far) & (t_near > _EPS)
+    hit = hit & ~jnp.eye(n, dtype=bool)[..., :, None, :]
+    return jnp.min(jnp.where(hit, t_near, _BIG), axis=-1)
+
+
+def raycast_culled(pose, local_dirs, culled, radius, max_range, disc_k=None,
+                   rect=None):
     """Fused culled raycast, batched over arenas — pure XLA, no custom call.
 
     pose: (A, N, 3); local_dirs: (B, 2); culled: (A, N, K, 4) [px,py,ex,ey]
@@ -155,6 +204,11 @@ def raycast_culled(pose, local_dirs, culled, radius, max_range, disc_k=None):
     robot would have been hit, and such robots are usually occluded by the
     kept nearer ones.  NOT part of the parity configuration — opt in via
     ``Env(disc_cull_k=...)`` for throughput beyond the exact path.
+
+    ``rect``: optional (half_len, half_wid) — raytrace the other robots as
+    ORIENTED RECTANGLES (:func:`raycast_boxes`, Stage's exact silhouette for
+    ``footprint="rect"`` worlds) instead of discs.  Mutually exclusive with
+    ``disc_k``.
     """
     n = pose.shape[-2]
     x = pose[..., 0:1]
@@ -176,6 +230,11 @@ def raycast_culled(pose, local_dirs, culled, radius, max_range, disc_k=None):
     hit = (win >= 0.0) & (t > _EPS)
     d_seg = jnp.min(jnp.where(hit, t, _BIG), axis=-1)     # (A,N,B)
 
+    if rect is not None:
+        assert disc_k is None, "disc_k and rect are mutually exclusive"
+        d_rob = raycast_boxes(pose, dx, dy, rect[0], rect[1])
+        return jnp.minimum(jnp.minimum(d_seg, d_rob), max_range)
+
     oc = pose[..., None, :, :2] - pose[..., :, None, :2]  # (A,N,M,2)
     c2 = jnp.sum(oc * oc, axis=-1) - radius * radius      # (A,N,M)
     c2 = jnp.where(jnp.eye(n, dtype=bool), _BIG, c2)
@@ -194,13 +253,20 @@ def raycast_culled(pose, local_dirs, culled, radius, max_range, disc_k=None):
     return jnp.minimum(jnp.minimum(d_seg, d_rob), max_range)
 
 
-def scan(pose, local_dirs, seg_p, seg_e, seg_valid, robot_radius, max_range):
+def scan(pose, local_dirs, seg_p, seg_e, seg_valid, robot_radius, max_range,
+         rect=None):
     """Full lidar scan for all robots of one arena.
 
     pose: (N, 3) [x, y, theta].  Returns ranges (N, B) clipped to max_range.
+    ``rect``: optional (half_len, half_wid) — robot silhouettes as oriented
+    rectangles (:func:`raycast_boxes`) instead of discs.
     """
     origins = pose[:, :2]
     dirs = _rotate_beams(pose[:, 2], local_dirs)
     d_seg = raycast_segments(origins, dirs, seg_p, seg_e, seg_valid)
-    d_rob = raycast_discs(origins, dirs, origins, robot_radius)
+    if rect is not None:
+        d_rob = raycast_boxes(pose, dirs[..., 0], dirs[..., 1],
+                              rect[0], rect[1])
+    else:
+        d_rob = raycast_discs(origins, dirs, origins, robot_radius)
     return jnp.minimum(jnp.minimum(d_seg, d_rob), max_range)

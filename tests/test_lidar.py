@@ -115,6 +115,86 @@ def test_env_obs_beams_downsample():
                                atol=1e-6)
 
 
+def test_rect_silhouette_analytic():
+    """raycast_boxes: head-on and lateral hits land on the box faces
+    (Stage raytraces the 0.44 x 0.38 footprint; worlds/stage1.world:83)."""
+    hl, hw = 0.22, 0.19
+    # facing each other along +x: hit at 3 - hl
+    pose = np.array([[0.0, 0.0, 0.0], [3.0, 0.0, np.pi]], np.float32)
+    r = np.asarray(lidar.scan(jnp.asarray(pose), DIRS, SEG_P, SEG_E, VALID,
+                              0.22, 6.0, rect=(hl, hw)))
+    mid = 32
+    assert abs(r[0, mid] - (3.0 - hl)) < 0.02
+    assert abs(r[1, mid] - (3.0 - hl)) < 0.02
+    # target turned 90 degrees: its SIDE faces the beam -> hit at 3 - hw
+    pose2 = np.array([[0.0, 0.0, 0.0], [3.0, 0.0, np.pi / 2]], np.float32)
+    r2 = np.asarray(lidar.scan(jnp.asarray(pose2), DIRS, SEG_P, SEG_E, VALID,
+                               0.22, 6.0, rect=(hl, hw)))
+    assert abs(r2[0, mid] - (3.0 - hw)) < 0.02
+
+
+def test_rect_silhouette_matches_segment_oracle():
+    """raycast_boxes == raycasting each box's 4 edges as segments."""
+    import jax
+
+    hl, hw = 0.22, 0.19
+    key = jax.random.PRNGKey(7)
+    n = 6
+    # non-overlapping placements (a ray STARTING inside another box reports
+    # no hit by design, where the edge oracle would see the interior)
+    ang = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    pos = np.stack([2.0 * np.cos(ang), 2.0 * np.sin(ang)], -1)
+    heading = np.array(jax.random.uniform(
+        key, (n,), minval=-np.pi, maxval=np.pi), np.float32)
+    pose = np.concatenate([pos, heading[:, None]], -1).astype(np.float32)
+    dirs = np.asarray(lidar._rotate_beams(jnp.asarray(pose[:, 2]), DIRS))
+
+    def box_segments(p):
+        c, s = np.cos(p[2]), np.sin(p[2])
+        u = np.array([c, s]) * hl
+        v = np.array([-s, c]) * hw
+        corners = [p[:2] + u + v, p[:2] - u + v,
+                   p[:2] - u - v, p[:2] + u - v]
+        return [(corners[i], corners[(i + 1) % 4] - corners[i])
+                for i in range(4)]
+
+    want = np.full((n, DIRS.shape[0]), 6.0, np.float32)
+    for i in range(n):
+        segs = [sg for j in range(n) if j != i for sg in box_segments(pose[j])]
+        sp = jnp.asarray(np.stack([a for a, _ in segs]).astype(np.float32))
+        se = jnp.asarray(np.stack([b for _, b in segs]).astype(np.float32))
+        d = lidar.raycast_segments(jnp.asarray(pose[i:i + 1, :2]),
+                                   jnp.asarray(dirs[i:i + 1]), sp, se,
+                                   jnp.ones(len(segs), bool))
+        want[i] = np.minimum(np.asarray(d)[0], 6.0)
+    got = np.minimum(np.asarray(lidar.raycast_boxes(
+        jnp.asarray(pose), jnp.asarray(dirs[..., 0]),
+        jnp.asarray(dirs[..., 1]), hl, hw)), 6.0)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_env_rect_silhouette_xla_matches_dense():
+    """footprint="rect" enables the oriented-box silhouette by default, and
+    the culled XLA path agrees with the dense path."""
+    import dataclasses
+
+    import jax
+
+    from rl_collision_avoidance_tpu.engine.env import Env
+    from rl_collision_avoidance_tpu.worlds import mini
+
+    spec = dataclasses.replace(mini(), footprint="rect")
+    env_x = Env(spec, lidar_mode="xla")
+    env_d = Env(spec, lidar_mode="dense")
+    assert env_x.rect_silhouette and env_d.rect_silhouette
+    key = jax.random.PRNGKey(11)
+    pose = jax.random.uniform(key, (2, spec.n_robots, 3),
+                              minval=-2.0, maxval=2.0)
+    np.testing.assert_allclose(np.asarray(jax.jit(env_x._raw_scan)(pose)),
+                               np.asarray(jax.jit(env_d._raw_scan)(pose)),
+                               atol=1e-5)
+
+
 def test_disc_cull_exact_when_k_covers_neighbors():
     """disc_cull_k (lidar.raycast_culled): k >= N-1 is always bit-identical
     to the exact path, and a small k is identical whenever at most k robots
