@@ -98,11 +98,15 @@ def run_circle_eval(params, model: CNNPolicy | None = None, spec=None,
     extra = travel_time - straight_time
 
     def _mean_extra(a):
+        # None (JSON null) when no robot succeeded — a bare NaN token would
+        # make the serialized report invalid JSON.
         m = success[a]
-        return float(extra[a][m].mean()) if m.any() else float("nan")
+        return float(extra[a][m].mean()) if m.any() else None
 
     per_arena_succ = success.mean(axis=1)
-    per_arena_extra = np.array([_mean_extra(i) for i in range(len(keys))])
+    per_arena_extra = np.array(
+        [x if x is not None else np.nan
+         for x in (_mean_extra(i) for i in range(len(keys)))], np.float64)
     out = {
         "n_robots": int(success.shape[1]),
         "n_arenas": int(success.shape[0]),
@@ -113,15 +117,18 @@ def run_circle_eval(params, model: CNNPolicy | None = None, spec=None,
         "collisions": int(crashed[0].sum()),
         "unfinished": int(unfinished[0].sum()),
         "mean_travel_time_s": (float(travel_time[0][success[0]].mean())
-                               if success[0].any() else float("nan")),
+                               if success[0].any() else None),
         "mean_extra_time_s": _mean_extra(0),
     }
     if len(keys) > 1:
+        any_extra = np.any(~np.isnan(per_arena_extra))
         out.update({
             "success_rate_mean": float(per_arena_succ.mean()),
             "success_rate_std": float(per_arena_succ.std()),
             "collisions_mean": float(crashed.sum(axis=1).mean()),
-            "mean_extra_time_mean": float(np.nanmean(per_arena_extra)),
-            "mean_extra_time_std": float(np.nanstd(per_arena_extra)),
+            "mean_extra_time_mean": (float(np.nanmean(per_arena_extra))
+                                     if any_extra else None),
+            "mean_extra_time_std": (float(np.nanstd(per_arena_extra))
+                                    if any_extra else None),
         })
     return out
