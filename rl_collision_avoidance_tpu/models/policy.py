@@ -104,6 +104,54 @@ class CNNPolicy(nn.Module):
         return value.astype(jnp.float32), mean.astype(jnp.float32), logstd
 
 
+def cnn_fused_apply(params, scans, goal, speed, dtype=jnp.float32):
+    """`CNNPolicy.apply` with the twin trunks' FIRST convs stacked into one.
+
+    The actor and critic encoders both read the full (batch, F, B) scan
+    stack — the largest tensor on the acting path; stacking their first
+    convs' output channels (F->32 twice becomes F->64 once) halves that HBM
+    read while computing identical math.  Everything downstream keeps the
+    twin structure (grouped convs / batched fc lower poorly on TPU —
+    docs/PERF.md).  Same params pytree as :class:`CNNPolicy`; numerical
+    agreement is pinned by tests/test_models.py.
+    """
+    p = params["params"]
+
+    def conv(x, q, stride):
+        y = jax.lax.conv_general_dilated(
+            x, q["kernel"].astype(dtype), (stride,), [(1, 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        return nn.relu(y + q["bias"].astype(dtype))
+
+    def dense(x, q, act=None):
+        y = x @ q["kernel"].astype(dtype) + q["bias"].astype(dtype)
+        return act(y) if act is not None else y
+
+    x = jnp.swapaxes(scans, -1, -2).astype(dtype)          # (batch, B, F)
+    a_c0 = p["act_trunk"]["Conv_0"]
+    c_c0 = p["crt_trunk"]["Conv_0"]
+    stacked = {"kernel": jnp.concatenate([a_c0["kernel"], c_c0["kernel"]], -1),
+               "bias": jnp.concatenate([a_c0["bias"], c_c0["bias"]])}
+    y = conv(x, stacked, 2)                                # (batch, 255, 64)
+    half = a_c0["kernel"].shape[-1]
+
+    def trunk(y1, t):
+        y2 = conv(y1, t["Conv_1"], 2)                      # (batch, 128, 32)
+        flatten = y2.reshape(*y2.shape[:-2], -1)
+        return dense(flatten, t["Dense_0"], nn.relu)
+
+    gs = jnp.concatenate([goal.astype(dtype), speed.astype(dtype)], -1)
+    a = trunk(y[..., :half], p["act_trunk"])
+    a = dense(jnp.concatenate([a, gs], -1), p["act_fc2"], nn.relu)
+    mean = jnp.concatenate([nn.sigmoid(dense(a, p["actor1"])),
+                            nn.tanh(dense(a, p["actor2"]))], -1)
+    c = trunk(y[..., half:], p["crt_trunk"])
+    c = dense(jnp.concatenate([c, gs], -1), p["crt_fc2"], nn.relu)
+    value = dense(c, p["critic"])
+    return (value.astype(jnp.float32), mean.astype(jnp.float32),
+            p["logstd"])
+
+
 class MLPPolicy(nn.Module):
     """Small MLP alternative (``model/net.py:83-133``); obs is a flat vector."""
     action_dim: int = 2

@@ -124,3 +124,21 @@ def test_init_distribution_is_torch_default():
     assert abs(k).max() <= bound + 1e-8
     assert abs(k).max() > 0.8 * bound  # actually spans the range
     assert abs(k.mean()) < 0.1 * bound
+
+
+def test_cnn_fused_apply_matches_module():
+    """cnn_fused_apply (stacked first convs, one obs read) is numerically
+    identical to CNNPolicy.apply on the same params."""
+    from rl_collision_avoidance_tpu.models.policy import cnn_fused_apply
+
+    model = CNNPolicy()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 512)),
+                        jnp.zeros((1, 2)), jnp.zeros((1, 2)))
+    scans = jax.random.normal(jax.random.PRNGKey(1), (9, 3, 512))
+    goal = jax.random.normal(jax.random.PRNGKey(2), (9, 2))
+    speed = jax.random.normal(jax.random.PRNGKey(3), (9, 2))
+    v1, m1, l1 = model.apply(params, scans, goal, speed)
+    v2, m2, l2 = jax.jit(cnn_fused_apply)(params, scans, goal, speed)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
