@@ -84,8 +84,12 @@ def run_circle_eval(params, model: CNNPolicy | None = None, spec=None,
     spec = spec or circle_world()
     # The jitted _run is keyed on the (static) env instance: reuse one per
     # world so repeated evals (e.g. checkpoint selection during stage-2
-    # training) hit the jit cache instead of recompiling.
-    env = _ENV_CACHE.setdefault(spec.name, Env(spec))
+    # training) hit the jit cache instead of recompiling.  Key by geometry,
+    # not just name: circle(n_robots=12) shares the name "circle" with the
+    # 50-robot default, and resolving both to one cached env would silently
+    # evaluate the wrong scenario.
+    cache_key = (spec.name, spec.n_robots, spec.n_segments)
+    env = _ENV_CACHE.setdefault(cache_key, Env(spec))
     keys = jax.random.split(jax.random.PRNGKey(seed), n_arenas)
     done_step, first_result, start_dist = jax.device_get(
         _run(params, model, env, max_steps, keys, float(pose_noise)))
