@@ -41,6 +41,14 @@ if __name__ == "__main__":
     train("stage1", updates=1200, n_arenas=32)
     train("stage2", updates=800, n_arenas=16,
           warm_start="checkpoints/stage1_params")
-    out = run_circle_eval(load_params("checkpoints/stage2_params"),
-                          CNNPolicy(), max_steps=2000)
+    params = load_params("checkpoints/stage2_params")
+    # Report both the exact symmetric scenario (which deterministic
+    # lockstep makes a wholesale stall for any policy — see PARITY.md) and
+    # the jittered robustness study that stands in for the reference's
+    # asynchronous timing.
+    out = {"deterministic_symmetric":
+           run_circle_eval(params, CNNPolicy(), max_steps=2000),
+           "jitter_1.0m":
+           run_circle_eval(params, CNNPolicy(), max_steps=2000,
+                           n_arenas=16, pose_noise=1.0)}
     print(json.dumps(out))

@@ -41,3 +41,17 @@ def test_circle_eval_arena0_unperturbed_matches_single():
                               pose_noise=0.2)
     assert batched["success_rate"] == single["success_rate"]
     assert batched["collisions"] == single["collisions"]
+
+
+def test_circle_eval_env_cache_respects_geometry():
+    """Regression: circle(n_robots=12) must not reuse the 50-robot cached
+    env (the cache once keyed on the world NAME alone)."""
+    from rl_collision_avoidance_tpu.worlds import circle as circle_world
+
+    model = CNNPolicy()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 512)),
+                        jnp.zeros((1, 2)), jnp.zeros((1, 2)))
+    big = run_circle_eval(params, model, max_steps=2)
+    small = run_circle_eval(params, model, spec=circle_world(n_robots=12),
+                            max_steps=2)
+    assert big["n_robots"] == 50 and small["n_robots"] == 12
