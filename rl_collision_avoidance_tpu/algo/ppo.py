@@ -45,6 +45,21 @@ class PPOConfig(NamedTuple):
     coeff_entropy: float = 5e-4
     value_coeff: float = 20.0
     learning_rate: float = 5e-5
+    # Floor for the state-independent logstd parameter, applied as a
+    # projection after every optimizer step.  None = parity (the reference
+    # has no floor; its stage-2 logstd collapses to ~-3 over 1600 updates,
+    # results/stage2_metrics.csv, killing exploration).  The circle_train
+    # fine-tune sets e.g. log(0.15) to keep a minimum exploration noise.
+    logstd_min: float | None = None
+
+
+def _clamp_logstd(params, lo: float):
+    """Project the policy's logstd parameter onto [lo, inf)."""
+    def clamp(path, x):
+        if any(getattr(p, "key", None) == "logstd" for p in path):
+            return jnp.maximum(x, lo)
+        return x
+    return jax.tree_util.tree_map_with_path(clamp, params)
 
 
 class Batch(NamedTuple):
@@ -157,6 +172,8 @@ def ppo_update_sharded(apply_fn, params, opt_state, tx, batch: Batch, key,
             aux = jax.lax.psum(jnp.stack(aux), data_axis)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if cfg.logstd_min is not None:
+                params = _clamp_logstd(params, cfg.logstd_min)
             return (params, opt_state), aux
 
         def epoch_step(carry, k):
@@ -208,6 +225,8 @@ def ppo_update(apply_fn, params, opt_state, tx, batch: Batch, key,
         grads, aux = grad_fn(params, mb)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if cfg.logstd_min is not None:
+            params = _clamp_logstd(params, cfg.logstd_min)
         return (params, opt_state), jnp.stack(aux)
 
     def epoch_step(carry, k):

@@ -224,8 +224,18 @@ def main(argv=None):
                                   disc_cull_k=args.disc_cull,
                                   fused=args.fused)
             break
-        except Exception:  # compile/OOM fallback: halve the batch
-            print(f"bench: {n_arenas} arenas failed; retrying smaller",
+        except (jax.errors.JaxRuntimeError, MemoryError) as e:
+            # Halve the batch ONLY on resource exhaustion (device OOM /
+            # allocation failure); any other error is a real regression and
+            # must fail the benchmark, not silently shrink it.
+            msg = str(e)
+            if not isinstance(e, MemoryError) and not any(
+                    s in msg.upper() for s in
+                    ("RESOURCE_EXHAUSTED", "OUT OF MEMORY", "OOM",
+                     "ALLOCAT")):
+                raise
+            print(f"bench: {n_arenas} arenas exhausted device memory "
+                  f"({msg.splitlines()[0][:120]}); retrying smaller",
                   file=sys.stderr)
             n_arenas //= 2
     if steps_per_s is None:

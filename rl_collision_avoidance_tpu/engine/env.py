@@ -266,22 +266,30 @@ class Env:
         constraint is relative to the robot's current position."""
         spec = self.spec
         n = self.n_robots
-        kp, kg = jax.random.split(key)
+        kp, kg, kj = jax.random.split(key, 3)
         if spec.reset_mode is ResetMode.RANDOM_DISC:
             pose = sampling.stage1_poses(kp, n, spec.spawn_radius)
             goal = sampling.stage1_goals(kg, pose[:, :2], spec.spawn_radius,
                                          spec.goal_dist_min,
                                          spec.goal_dist_max)
             return pose, goal
+        # Table poses, optionally jittered (circle_train: uniform +-J on x/y
+        # per reset; goals and headings stay exact, matching the eval
+        # robustness study in eval/circle.py).
+        table_pose = jnp.asarray(self._pose_table)
+        if spec.pose_jitter > 0.0:
+            noise = jax.random.uniform(kj, (n, 2), minval=-spec.pose_jitter,
+                                       maxval=spec.pose_jitter)
+            table_pose = table_pose.at[:, :2].add(noise)
         if spec.reset_mode is ResetMode.TABLES_THEN_CORRIDOR:
             rpose = sampling.corridor_poses(kp, cur_pose[:, :2])
             rgoal = sampling.corridor_goals(kg, rpose[:, :2])
             fixed = jnp.arange(n) < spec.n_fixed
-            pose = jnp.where(fixed[:, None], self._pose_table, rpose)
+            pose = jnp.where(fixed[:, None], table_pose, rpose)
             goal = jnp.where(fixed[:, None], self._goal_table, rgoal)
             return pose, goal
         # FIXED_TABLES
-        return self._pose_table, self._goal_table
+        return table_pose, jnp.asarray(self._goal_table)
 
     def _sample_pose_goal(self, keys, cur_pose):
         """Batched over arenas: keys (A, 2), cur_pose (A, N, 3)."""

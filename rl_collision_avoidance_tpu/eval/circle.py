@@ -84,11 +84,22 @@ def run_circle_eval(params, model: CNNPolicy | None = None, spec=None,
     spec = spec or circle_world()
     # The jitted _run is keyed on the (static) env instance: reuse one per
     # world so repeated evals (e.g. checkpoint selection during stage-2
-    # training) hit the jit cache instead of recompiling.  Key by geometry,
-    # not just name: circle(n_robots=12) shares the name "circle" with the
-    # 50-robot default, and resolving both to one cached env would silently
-    # evaluate the wrong scenario.
-    cache_key = (spec.name, spec.n_robots, spec.n_segments)
+    # training) hit the jit cache instead of recompiling.  Key by a digest
+    # of the actual geometry and scenario tables, not just name/shape:
+    # circle(n_robots=12) shares the name "circle" with the 50-robot
+    # default, and two same-shape variants (e.g. different table radii)
+    # must not collide either.
+    def _digest(*arrays):
+        import hashlib
+        h = hashlib.sha1()
+        for arr in arrays:
+            if arr is not None:
+                h.update(np.ascontiguousarray(arr).tobytes())
+        return h.hexdigest()[:16]
+
+    cache_key = (spec.name, spec.n_robots,
+                 _digest(spec.seg_p, spec.seg_e, spec.seg_valid,
+                         spec.init_pose_table, spec.goal_table))
     env = _ENV_CACHE.setdefault(cache_key, Env(spec))
     keys = jax.random.split(jax.random.PRNGKey(seed), n_arenas)
     done_step, first_result, start_dist = jax.device_get(

@@ -46,6 +46,9 @@ class TrainConfig:
     # horizon x arenas x robots x 3 x 512).  bfloat16 halves HBM, letting
     # ~2x more arenas fit; None keeps exact f32 (parity default).
     obs_store_dtype: Any = None
+    # Lidar backend for the training env ("xla"/"pallas"/"dense"); None =
+    # the engine's platform default (xla on TPU, dense on CPU).
+    lidar_mode: str | None = None
 
     @staticmethod
     def stage1(**kw) -> "TrainConfig":
@@ -72,6 +75,25 @@ class TrainConfig:
                                        learning_rate=5e-5))
         return TrainConfig(**kw)
 
+    @staticmethod
+    def circle_ft(**kw) -> "TrainConfig":
+        """Stage-3: fine-tune directly on the jittered 50-robot circle swap
+        (world ``circle_train`` — our addition; the reference never trains on
+        its flagship eval task).  Stage-2 PPO settings plus a logstd floor:
+        the committed stage-2 run's entropy collapses 0.6 -> -3.1
+        (results/stage2_metrics.csv), leaving no exploration for the new
+        task; the floor keeps the policy's noise at >= exp(-2) ~ 0.135.
+
+        Rollout per update = 128 x 50 x a = 6400*a samples; batch 640*a
+        gives 10 minibatches x 4 epochs (stage-2's ~44 grad steps scaled to
+        the longer-episode task)."""
+        a = kw.get("n_arenas", 1)
+        kw.setdefault("world", "circle_train")
+        kw.setdefault("ppo", PPOConfig(batch_size=640 * a, epochs=4,
+                                       clip_value=0.1, coeff_entropy=5e-4,
+                                       learning_rate=5e-5, logstd_min=-2.0))
+        return TrainConfig(**kw)
+
 
 @struct.dataclass
 class TrainState:
@@ -88,7 +110,7 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
         self.spec = get_world(cfg.world)
-        self.env = Env(self.spec)
+        self.env = Env(self.spec, lidar_mode=cfg.lidar_mode)
         self.model = CNNPolicy(dtype=cfg.policy_dtype)
         self.tx = optax.adam(cfg.ppo.learning_rate)  # torch Adam defaults
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()

@@ -1,7 +1,7 @@
-from .spec import (WorldSpec, ResetMode, stage1, stage2, circle, mini, get_world,
-                   circle_tables, stage2_tables)
+from .spec import (WorldSpec, ResetMode, stage1, stage2, circle, circle_train,
+                   mini, get_world, circle_tables, stage2_tables)
 
 __all__ = [
-    "WorldSpec", "ResetMode", "stage1", "stage2", "circle", "mini", "get_world",
-    "circle_tables", "stage2_tables",
+    "WorldSpec", "ResetMode", "stage1", "stage2", "circle", "circle_train",
+    "mini", "get_world", "circle_tables", "stage2_tables",
 ]

@@ -97,6 +97,12 @@ class WorldSpec:
     init_pose_table: np.ndarray | None = None
     goal_table: np.ndarray | None = None
     n_fixed: int = 0  # robots [0, n_fixed) use the tables in TABLES_THEN_CORRIDOR
+    # Uniform +-pose_jitter (m) added per-robot to table x/y at every reset.
+    # 0.0 = exact tables (all parity worlds).  Used by the circle_train
+    # fine-tuning world: the exact circle scenario is rotationally symmetric
+    # and deterministic-lockstep-degenerate (PARITY.md), so training sees the
+    # jittered task the evaluation robustness study measures.
+    pose_jitter: float = 0.0
     # Episode-synchronization groups (model/utils.py:81-87): group id per robot,
     # or None when episodes are per-robot independent.
     group_id: np.ndarray | None = None
@@ -312,6 +318,44 @@ def circle(n_robots: int = 50) -> WorldSpec:
 
 
 @lru_cache(maxsize=None)
+def circle_train(n_robots: int = 50, pose_jitter: float = 0.6,
+                 timeout: int = 700) -> WorldSpec:
+    """Trainable variant of the 50-robot circle swap (stage-3 fine-tuning).
+
+    The reference never trains on its flagship eval scenario — it ships one
+    hand-picked stage-2 checkpoint (``circle_test.py:109``).  The batched
+    engine makes training directly on the (jittered) eval task cheap: same
+    geometry and tables as :func:`circle`, but episodes auto-reset as ONE
+    synchronized group (all 50 robots done -> fresh jittered ring, the
+    stage-2 group mechanism with a single group), initial x/y perturbed by
+    uniform ``+-pose_jitter`` per reset, and a finite timeout (the 50 m
+    crossing takes ~500 steps at v_max * dt).  ``omega_thresh`` 0.7 matches
+    the eval reward (``circle_world.py:195``).  ``dist_prev_zero_on_reset``
+    is False — this world is ours, and the reference's reset quirk would
+    inject a -125 first-step reward at 50 m goal distance.
+    """
+    seg_p, seg_e, valid = pack_segments(
+        _bitmap_world_segments("rink.png", 60.0, reach_seeds=[(0.0, 0.0)]))
+    poses, goals = circle_tables(n_robots)
+    return WorldSpec(
+        name="circle_train",
+        n_robots=n_robots,
+        seg_p=seg_p,
+        seg_e=seg_e,
+        seg_valid=valid,
+        timeout=timeout,
+        omega_thresh=0.7,
+        reset_mode=ResetMode.TABLES_THEN_CORRIDOR,
+        init_pose_table=poses,
+        goal_table=goals,
+        n_fixed=n_robots,
+        group_id=np.zeros(n_robots, dtype=np.int32),
+        pose_jitter=pose_jitter,
+        dist_prev_zero_on_reset=False,
+    )
+
+
+@lru_cache(maxsize=None)
 def mini(n_robots: int = 4, n_beams: int = 64) -> WorldSpec:
     """Small square room for fast tests/examples: stage-1 semantics at a
     fraction of the compute (few segments, few beams, few robots)."""
@@ -333,4 +377,4 @@ def mini(n_robots: int = 4, n_beams: int = 64) -> WorldSpec:
 
 def get_world(name: str) -> WorldSpec:
     return {"stage1": stage1, "stage2": stage2, "circle": circle,
-            "mini": mini}[name]()
+            "circle_train": circle_train, "mini": mini}[name]()

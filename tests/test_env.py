@@ -288,3 +288,53 @@ def test_teleport(env, jitted):
                                np.asarray(state.pose)[1:])
     want = np.linalg.norm(np.asarray(state.goal)[0] - [3.0, -2.0])
     np.testing.assert_allclose(float(new.dist[0]), want, rtol=1e-5)
+
+
+def test_circle_train_jittered_group_reset():
+    """circle_train resets: poses jittered within +-pose_jitter of the
+    tables (per arena, per reset), goals/headings exact; the single group
+    resets only when every robot is done."""
+    import numpy as np
+
+    from rl_collision_avoidance_tpu.engine.env import Env
+    from rl_collision_avoidance_tpu.worlds import circle_train
+
+    spec = circle_train()
+    env = Env(spec)
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    state, obs = env.reset(keys)
+    pose = np.asarray(state.pose)
+    dev = pose[..., :2] - spec.init_pose_table[None, :, :2]
+    assert np.abs(dev).max() <= spec.pose_jitter + 1e-6
+    assert not np.allclose(pose[0], pose[1])  # arenas draw different jitter
+    np.testing.assert_array_equal(np.asarray(state.pose[..., 2]),
+                                  np.broadcast_to(
+                                      spec.init_pose_table[None, :, 2],
+                                      (2, spec.n_robots)))
+    np.testing.assert_array_equal(
+        np.asarray(state.goal),
+        np.broadcast_to(spec.goal_table[None], (2, spec.n_robots, 2)))
+
+    # Teleport all robots onto their goals -> everyone terminal -> the one
+    # group resets the whole ring to fresh jittered poses.
+    goal_pose = jnp.concatenate(
+        [state.goal, state.pose[..., 2:]], axis=-1)
+    state = env.teleport(state, goal_pose)
+    state2, obs2, reward, done, info = env.step(
+        state, jnp.zeros((2, spec.n_robots, 2)))
+    assert bool(jnp.all(done))
+    assert not bool(jnp.any(state2.dead))  # reset, not latched dead
+    pose2 = np.asarray(state2.pose)
+    dev2 = pose2[..., :2] - spec.init_pose_table[None, :, :2]
+    assert np.abs(dev2).max() <= spec.pose_jitter + 1e-6
+    assert not np.allclose(pose2, pose)  # fresh jitter draw
+
+    # One robot still running -> no reset for anyone (group barrier).
+    state3, _ = env.reset(keys)
+    part = jnp.concatenate([state3.goal, state3.pose[..., 2:]], -1)
+    part = part.at[:, 0, :2].set(state3.pose[:, 0, :2])  # robot 0 stays put
+    state3 = env.teleport(state3, part)
+    state4, _, _, done4, _ = env.step(
+        state3, jnp.zeros((2, spec.n_robots, 2)))
+    assert bool(jnp.all(state4.dead[:, 1:]))  # finished, latched, waiting
+    assert not bool(jnp.any(state4.dead[:, 0]))

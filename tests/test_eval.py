@@ -55,3 +55,32 @@ def test_circle_eval_env_cache_respects_geometry():
     small = run_circle_eval(params, model, spec=circle_world(n_robots=12),
                             max_steps=2)
     assert big["n_robots"] == 50 and small["n_robots"] == 12
+
+
+def test_circle_eval_env_cache_keys_on_geometry_digest():
+    """Two same-shape variants of a world (same name, same robot/segment
+    counts, different table geometry) must resolve to distinct cached envs
+    (VERDICT r3 weak #8: the key once used only (name, n_robots,
+    n_segments))."""
+    import dataclasses
+
+    from rl_collision_avoidance_tpu.eval import circle as circle_eval
+    from rl_collision_avoidance_tpu.worlds import circle as circle_world
+
+    model = CNNPolicy()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 512)),
+                        jnp.zeros((1, 2)), jnp.zeros((1, 2)))
+    spec_a = circle_world()
+    spec_b = dataclasses.replace(
+        spec_a, init_pose_table=spec_a.init_pose_table * np.float32(0.9),
+        goal_table=spec_a.goal_table * np.float32(0.9))
+    before = len(circle_eval._ENV_CACHE)
+    run_circle_eval(params, model, spec=spec_a, max_steps=1)
+    run_circle_eval(params, model, spec=spec_b, max_steps=1)
+    keys = [k for k in circle_eval._ENV_CACHE if k[0] == "circle"]
+    assert len(keys) >= 2, keys
+    env_a = circle_eval._ENV_CACHE[
+        [k for k in keys if circle_eval._ENV_CACHE[k].spec is spec_a][0]]
+    env_b = circle_eval._ENV_CACHE[
+        [k for k in keys if circle_eval._ENV_CACHE[k].spec is spec_b][0]]
+    assert env_a is not env_b

@@ -199,3 +199,41 @@ def test_ppo_update_warns_on_dropped_remainder():
         ppo_update(apply_fn, params, opt_state, tx, batch,
                    jax.random.PRNGKey(0), PPOConfig(batch_size=16, epochs=1))
     assert not any("dropped" in str(w.message) for w in rec)
+
+
+def test_ppo_logstd_floor_projection():
+    """cfg.logstd_min projects the policy's logstd after every optimizer
+    step (entropy-collapse guard for the circle_train fine-tune); None
+    keeps the reference's unconstrained behavior."""
+    import optax
+
+    from rl_collision_avoidance_tpu.algo.ppo import (Batch, PPOConfig,
+                                                     ppo_update)
+    from rl_collision_avoidance_tpu.models import CNNPolicy
+
+    model = CNNPolicy()
+    key = jax.random.PRNGKey(0)
+    m, f, b = 8, 3, 32
+    params = model.init(key, jnp.zeros((1, f, b)), jnp.zeros((1, 2)),
+                        jnp.zeros((1, 2)))
+    batch = Batch(
+        scans=jax.random.normal(key, (m, f, b)),
+        goal=jax.random.normal(key, (m, 2)),
+        speed=jnp.zeros((m, 2)),
+        action=jax.random.normal(key, (m, 2)),
+        logprob=jnp.zeros((m, 1)),
+        target=jnp.ones((m, 1)),
+        adv=jax.random.normal(key, (m, 1)),
+        weight=jnp.ones((m,)),
+    )
+    cfg = PPOConfig(batch_size=m, epochs=1, logstd_min=0.5)
+    tx = optax.adam(cfg.learning_rate)
+    p2, _, _ = ppo_update(model.apply, params, tx.init(params), tx, batch,
+                          key, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(p2["params"]["logstd"]), 0.5)  # 0-init, clamped up
+
+    cfg0 = cfg._replace(logstd_min=None)
+    p3, _, _ = ppo_update(model.apply, params, tx.init(params), tx, batch,
+                          key, cfg0)
+    assert np.all(np.asarray(p3["params"]["logstd"]) < 0.5)

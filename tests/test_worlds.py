@@ -70,3 +70,23 @@ def test_world_builders():
         assert spec.seg_p.shape[0] % 128 == 0
     assert stage1().timeout == 150 and stage2().timeout == 200
     assert circle().timeout == 10000 and circle().omega_thresh == 0.7
+
+
+def test_circle_train_world():
+    """Stage-3 fine-tuning world: circle tables + single synchronized
+    reset group + pose jitter (worlds/spec.py:circle_train)."""
+    import numpy as np
+
+    from rl_collision_avoidance_tpu.worlds import circle, circle_train
+    from rl_collision_avoidance_tpu.worlds.spec import ResetMode
+
+    spec = circle_train()
+    ref = circle()
+    assert spec.n_robots == 50 and spec.n_fixed == 50
+    assert spec.reset_mode is ResetMode.TABLES_THEN_CORRIDOR
+    assert spec.pose_jitter > 0.0
+    assert not spec.dist_prev_zero_on_reset
+    assert spec.omega_thresh == ref.omega_thresh == 0.7
+    np.testing.assert_array_equal(spec.init_pose_table, ref.init_pose_table)
+    np.testing.assert_array_equal(spec.goal_table, ref.goal_table)
+    assert np.all(spec.group_id == 0)  # one group: all-done -> ring reset
