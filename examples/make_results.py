@@ -137,7 +137,12 @@ def plot_curves():
     import numpy as np
 
     fig, axes = plt.subplots(1, 2, figsize=(11, 4))
-    for stage, color in (("stage1", "tab:blue"), ("stage2", "tab:orange"),
+    # stage1_refcfg: the literal reference configuration (1 arena, batch
+    # 1024 — examples/stage1_refcfg.py), overlaid on the scaled 32-arena run
+    # to show both plateau at the same goal-reach (BASELINE.md curve match).
+    for stage, color in (("stage1", "tab:blue"),
+                         ("stage1_refcfg", "tab:cyan"),
+                         ("stage2", "tab:orange"),
                          ("circle_ft", "tab:green")):
         path = os.path.join(RESULTS, f"{stage}_metrics.csv")
         if not os.path.exists(path):

@@ -1,0 +1,47 @@
+"""Stage-1 at the reference's EXACT configuration (BASELINE.md curve-match).
+
+The reference trains one 24-robot arena with minibatch 1024 and 2 epochs
+(`/root/reference/ppo_stage1.py:22-35`: NUM_ENV=24, BATCH_SIZE=1024,
+EPOCH=2, HORIZON=128).  The committed headline curve uses n_arenas=32 with
+the batch scaled 32x (same gradient-steps-per-sample regime, 32x the
+samples); this script runs the literal reference configuration — one arena,
+batch 1024 — and writes ``results/stage1_refcfg_metrics.csv`` so the two
+curves can be overlaid (``learning_curve.png``, examples/make_results.py).
+
+Usage: python examples/stage1_refcfg.py [--updates 5000]
+"""
+import argparse
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rl_collision_avoidance_tpu.train import Trainer, TrainConfig
+from rl_collision_avoidance_tpu.utils.cache import enable_compilation_cache
+from rl_collision_avoidance_tpu.utils.metrics import MetricLogger
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--updates", type=int, default=5000)
+    args = p.parse_args()
+    enable_compilation_cache()
+
+    cfg = TrainConfig.stage1(n_arenas=1)  # == ppo_stage1.py:22-35 literally
+    assert cfg.ppo.batch_size == 1024 and cfg.ppo.epochs == 2
+    tr = Trainer(cfg)
+    log_dir = os.path.join(RESULTS, "log_stage1_refcfg")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    logger = MetricLogger(log_dir)
+    tr.train(updates=args.updates, log_fn=logger.log_update)
+    shutil.copy(os.path.join(log_dir, "metrics.csv"),
+                os.path.join(RESULTS, "stage1_refcfg_metrics.csv"))
+    print("wrote results/stage1_refcfg_metrics.csv")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,7 @@ BASELINE_STEPS_PER_S = 5.0e6
 def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
                lidar_mode: str | None = None, world: str = "stage1",
                shard: bool = False, disc_cull_k: int | None = None,
-               fused: bool = False):
+               fused: bool = False, obs_dtype=None):
     from .engine.env import Env
     from .models import CNNPolicy
     from .models.policy import cnn_fused_apply
@@ -33,7 +33,8 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
 
     distributions = models.distributions
     spec = get_world(world)
-    env = Env(spec, lidar_mode=lidar_mode, disc_cull_k=disc_cull_k)
+    env = Env(spec, lidar_mode=lidar_mode, disc_cull_k=disc_cull_k,
+              obs_dtype=obs_dtype)
     model = CNNPolicy(dtype=policy_dtype)
     key = jax.random.PRNGKey(0)
     f, b = spec.laser_frames, spec.obs_beams or spec.n_beams
@@ -81,10 +82,11 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
 def measure(n_arenas: int = 512, inner_steps: int = 1024, repeats: int = 5,
             policy_dtype=jnp.float32, lidar_mode: str | None = None,
             world: str = "stage1", shard: bool = False,
-            disc_cull_k: int | None = None, fused: bool = False):
+            disc_cull_k: int | None = None, fused: bool = False,
+            obs_dtype=None):
     spec, run, carry = build_step(n_arenas, inner_steps, policy_dtype,
                                   lidar_mode, world, shard, disc_cull_k,
-                                  fused)
+                                  fused, obs_dtype)
     env_state, obs, key = carry
     # compile + warmup.  NOTE: timings must fetch a result to host —
     # block_until_ready returns early on the axon runtime (docs/PERF.md).
@@ -101,14 +103,24 @@ def measure(n_arenas: int = 512, inner_steps: int = 1024, repeats: int = 5,
     return best
 
 
-def measure_training(n_arenas: int = 32, updates: int = 5, world: str = "stage1"):
+def measure_training(n_arenas: int = 32, updates: int = 5, world: str = "stage1",
+                     policy_dtype=jnp.float32, obs_store_dtype=None,
+                     apply_impl: str = "conv"):
     """Full training throughput: rollout + GAE + PPO env-steps per second
     (one Trainer update = HORIZON env steps per robot, like the reference's
-    buffer/update unit at ppo_stage1.py:102-116)."""
+    buffer/update unit at ppo_stage1.py:102-116).
+
+    ``policy_dtype=bfloat16`` = mixed-precision training (f32 params/Adam,
+    bf16 activations); the update phase is HBM-activation-bound, so this is
+    the big lever (docs/PERF.md, update-phase table).  f32 is the parity
+    default the committed curves use."""
     from .train import TrainConfig, Trainer
 
     cfg = (TrainConfig.stage1 if world == "stage1"
-           else TrainConfig.stage2)(n_arenas=n_arenas)
+           else TrainConfig.stage2)(n_arenas=n_arenas,
+                                    policy_dtype=policy_dtype,
+                                    obs_store_dtype=obs_store_dtype,
+                                    apply_impl=apply_impl)
     tr = Trainer(cfg)
     state = tr.init_state()
     state, metrics = tr._step_fn(state)               # compile + warmup
@@ -186,6 +198,16 @@ def main(argv=None):
                         "identical; one obs read instead of two)")
     p.add_argument("--train", action="store_true",
                    help="measure full training (rollout+GAE+PPO) throughput")
+    p.add_argument("--obs-bf16", action="store_true",
+                   help="store lidar frames as bfloat16 (acting: the "
+                        "scan_hist state tensor, Env(obs_dtype=...); "
+                        "training: additionally the rollout buffer) — "
+                        "halves the dominant HBM traffic at large A")
+    p.add_argument("--apply-impl", choices=["conv", "matmul", "fused"],
+                   default="conv",
+                   help="with --train: policy apply implementation "
+                        "(matmul = im2col convs, numerically equivalent, "
+                        "matmul-only backward)")
     p.add_argument("--scaling", type=int, default=None, metavar="N",
                    help="CPU data-parallel scaling proof at N virtual devices")
     args = p.parse_args(argv)
@@ -205,9 +227,14 @@ def main(argv=None):
     platform = jax.devices()[0].platform
     if args.train:
         n_arenas = args.arenas or (32 if platform != "cpu" else 2)
-        steps_per_s = measure_training(n_arenas, updates=args.repeats)
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        steps_per_s = measure_training(
+            n_arenas, updates=args.repeats, policy_dtype=dtype,
+            obs_store_dtype=jnp.bfloat16 if args.obs_bf16 else None,
+            apply_impl=args.apply_impl)
         print(json.dumps({
-            "metric": "stage1_training_steps_per_s",
+            "metric": "stage1_training_steps_per_s"
+                      + ("_bf16" if args.bf16 else ""),
             "value": round(steps_per_s, 1),
             "unit": "robot-steps/s",
             "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
@@ -222,7 +249,9 @@ def main(argv=None):
             steps_per_s = measure(n_arenas, args.inner_steps, args.repeats,
                                   dtype, args.lidar,
                                   disc_cull_k=args.disc_cull,
-                                  fused=args.fused)
+                                  fused=args.fused,
+                                  obs_dtype=(jnp.bfloat16 if args.obs_bf16
+                                             else None))
             break
         except (jax.errors.JaxRuntimeError, MemoryError) as e:
             # Halve the batch ONLY on resource exhaustion (device OOM /

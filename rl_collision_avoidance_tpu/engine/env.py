@@ -107,7 +107,8 @@ class Env:
     def __init__(self, spec: WorldSpec, use_pallas: bool | None = None,
                  lidar_mode: str | None = None,
                  disc_cull_k: int | None = None,
-                 rect_silhouette: bool | None = None):
+                 rect_silhouette: bool | None = None,
+                 obs_dtype=None):
         """``disc_cull_k``: opt-in APPROXIMATE lidar disc culling (test each
         robot's beams against only its k nearest neighbors; exact while at
         most k robots are in sensor range) — see lidar.raycast_culled.  The
@@ -118,8 +119,17 @@ class Env:
         Defaults to True for ``footprint="rect"`` worlds — so "rect" gives
         full Stage fidelity in both collision AND lidar — and False for the
         disc worlds.  Requires the xla/dense lidar backends (the Pallas
-        kernel models disc silhouettes)."""
+        kernel models disc silhouettes).
+
+        ``obs_dtype``: storage dtype of the stacked lidar history
+        (``scan_hist``, the largest state/obs tensor: A x N x 3 x B).  None
+        = f32 (exact parity).  OPT-IN ``jnp.bfloat16`` halves its HBM
+        traffic — the large-arena acting bottleneck (docs/PERF.md round 4);
+        the quantization error on the normalized ranges (~2^-9 relative,
+        ~1-2 mm at 6 m) is far inside Stage's own 0.2 m raster fidelity.
+        Lidar math itself stays f32; only storage quantizes."""
         self.spec = spec
+        self.obs_dtype = obs_dtype
         self.disc_cull_k = disc_cull_k
         if rect_silhouette is None:
             rect_silhouette = spec.footprint == "rect"
@@ -241,7 +251,10 @@ class Env:
         scan = self._raw_scan(pose)
         if self._obs_idx is not None:
             scan = scan[..., self._obs_idx]
-        return scan / self.spec.max_range - 0.5
+        scan = scan / self.spec.max_range - 0.5
+        if self.obs_dtype is not None:
+            scan = scan.astype(self.obs_dtype)
+        return scan
 
     @staticmethod
     def _local_goal(pose, goal):
@@ -316,7 +329,8 @@ class Env:
             dist=self._reset_dist(pose, goal),
             step=jnp.zeros((a, n), jnp.int32),
             dead=jnp.zeros((a, n), bool),
-            scan_hist=jnp.zeros((a, n, self.frames, self.obs_beams)),
+            scan_hist=jnp.zeros((a, n, self.frames, self.obs_beams),
+                                self.obs_dtype or jnp.float32),
             ep_return=jnp.zeros((a, n)),
             key=key,
         )

@@ -152,6 +152,65 @@ def cnn_fused_apply(params, scans, goal, speed, dtype=jnp.float32):
             p["logstd"])
 
 
+def _im2col_1d(x, k: int, stride: int, pad: int):
+    """(..., L, C) -> (..., L_out, k*C) patch matrix via k strided slices.
+
+    Lowers a 1-D conv to one matmul: TPU/XLA compiles the conv op's
+    *backward* (filter/input gradients of tiny-channel convs) poorly,
+    while slice+concat+dot differentiates into pad+add and plain matmuls
+    that run at MXU rates (docs/PERF.md, update-phase table).
+    """
+    L = x.shape[-2]
+    L_out = (L + 2 * pad - k) // stride + 1
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(pad, pad), (0, 0)])
+    cols = [xp[..., j:j + (L_out - 1) * stride + 1:stride, :]
+            for j in range(k)]
+    return jnp.concatenate(cols, axis=-1)  # (..., L_out, k*C)
+
+
+def cnn_matmul_apply(params, scans, goal, speed, dtype=jnp.float32):
+    """`CNNPolicy.apply` with both convs lowered to im2col matmuls.
+
+    Numerically equivalent (same multiply-accumulates, reassociated) with
+    the same params pytree; exists because `lax.conv` WITH GRADIENTS is the
+    training-throughput bottleneck: the conv filter/input-gradient kernels
+    for these tiny-channel convs run ~10x below matmul rates on TPU, while
+    this formulation's backward is pure matmul + pad-add.  Use for the PPO
+    update path; agreement is pinned by tests/test_models.py.
+    """
+    p = params["params"]
+
+    def dense(x, q, act=None):
+        y = x @ q["kernel"].astype(dtype) + q["bias"].astype(dtype)
+        return act(y) if act is not None else y
+
+    def trunk(x, t):
+        # conv1 k5 s2 p1: (B, 512, F) -> (B, 255, 32)
+        c1 = t["Conv_0"]
+        w1 = c1["kernel"].astype(dtype)            # (5, F, 32)
+        y = _im2col_1d(x, 5, 2, 1) @ w1.reshape(-1, w1.shape[-1])
+        y = nn.relu(y + c1["bias"].astype(dtype))
+        # conv2 k3 s2 p1: (B, 255, 32) -> (B, 128, 32)
+        c2 = t["Conv_1"]
+        w2 = c2["kernel"].astype(dtype)            # (3, 32, 32)
+        y = _im2col_1d(y, 3, 2, 1) @ w2.reshape(-1, w2.shape[-1])
+        y = nn.relu(y + c2["bias"].astype(dtype))
+        flat = y.reshape(*y.shape[:-2], -1)        # (B, 4096)
+        return dense(flat, t["Dense_0"], nn.relu)
+
+    x = jnp.swapaxes(scans, -1, -2).astype(dtype)  # (B, 512, F)
+    gs = jnp.concatenate([goal.astype(dtype), speed.astype(dtype)], -1)
+    a = trunk(x, p["act_trunk"])
+    a = dense(jnp.concatenate([a, gs], -1), p["act_fc2"], nn.relu)
+    mean = jnp.concatenate([nn.sigmoid(dense(a, p["actor1"])),
+                            nn.tanh(dense(a, p["actor2"]))], -1)
+    c = trunk(x, p["crt_trunk"])
+    c = dense(jnp.concatenate([c, gs], -1), p["crt_fc2"], nn.relu)
+    value = dense(c, p["critic"])
+    return (value.astype(jnp.float32), mean.astype(jnp.float32),
+            p["logstd"])
+
+
 class MLPPolicy(nn.Module):
     """Small MLP alternative (``model/net.py:83-133``); obs is a flat vector."""
     action_dim: int = 2

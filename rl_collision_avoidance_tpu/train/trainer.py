@@ -49,6 +49,13 @@ class TrainConfig:
     # Lidar backend for the training env ("xla"/"pallas"/"dense"); None =
     # the engine's platform default (xla on TPU, dense on CPU).
     lidar_mode: str | None = None
+    # Policy apply implementation: "conv" = flax CNNPolicy.apply (parity
+    # reference), "matmul" = models.policy.cnn_matmul_apply — numerically
+    # equivalent im2col formulation whose BACKWARD is pure matmuls (the
+    # lax.conv filter-gradient kernels are the training bottleneck on TPU;
+    # docs/PERF.md update-phase table), "fused" = stacked-first-conv
+    # forward (acting-path variant).
+    apply_impl: str = "conv"
 
     @staticmethod
     def stage1(**kw) -> "TrainConfig":
@@ -112,6 +119,13 @@ class Trainer:
         self.spec = get_world(cfg.world)
         self.env = Env(self.spec, lidar_mode=cfg.lidar_mode)
         self.model = CNNPolicy(dtype=cfg.policy_dtype)
+        from ..models.policy import cnn_fused_apply, cnn_matmul_apply
+        impls = {
+            "conv": self.model.apply,
+            "matmul": partial(cnn_matmul_apply, dtype=cfg.policy_dtype),
+            "fused": partial(cnn_fused_apply, dtype=cfg.policy_dtype),
+        }
+        self.apply_fn = impls[cfg.apply_impl]
         self.tx = optax.adam(cfg.ppo.learning_rate)  # torch Adam defaults
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
         self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
@@ -152,8 +166,8 @@ class Trainer:
         """Batched forward over (arena, robot) -> value/mean/logstd flat."""
         a, n = obs.scans.shape[:2]
         flat = lambda x: x.reshape(a * n, *x.shape[2:])
-        value, mean, logstd = self.model.apply(params, flat(obs.scans),
-                                               flat(obs.goal), flat(obs.speed))
+        value, mean, logstd = self.apply_fn(params, flat(obs.scans),
+                                            flat(obs.goal), flat(obs.speed))
         return value, mean, logstd, (a, n)
 
     def _generate_action(self, params, obs, key):
@@ -225,7 +239,7 @@ class Trainer:
 
         key, k_ppo = jax.random.split(key)
         params, opt_state, loss_metrics = ppo_update_sharded(
-            self.model.apply, state.params, state.opt_state, self.tx, batch,
+            self.apply_fn, state.params, state.opt_state, self.tx, batch,
             k_ppo, cfg.ppo, self.mesh, meshlib.DATA_AXIS)
 
         episodes = jnp.sum(done_t & info_t.valid.astype(bool))

@@ -338,3 +338,29 @@ def test_circle_train_jittered_group_reset():
         state3, jnp.zeros((2, spec.n_robots, 2)))
     assert bool(jnp.all(state4.dead[:, 1:]))  # finished, latched, waiting
     assert not bool(jnp.any(state4.dead[:, 0]))
+
+
+def test_env_obs_bf16_storage():
+    """Opt-in Env(obs_dtype=bfloat16): scan history stores/emits bf16 and
+    tracks the f32 scan within bf16 quantization; default stays f32."""
+    import numpy as np
+
+    from rl_collision_avoidance_tpu.engine.env import Env
+    from rl_collision_avoidance_tpu.worlds import mini
+
+    spec = mini()
+    key = jax.random.PRNGKey(0)
+    e32 = Env(spec)
+    e16 = Env(spec, obs_dtype=jnp.bfloat16)
+    s32, o32 = e32.reset(key[None])
+    s16, o16 = e16.reset(key[None])
+    assert o32.scans.dtype == jnp.float32
+    assert o16.scans.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(o32.scans),
+                               np.asarray(o16.scans, np.float32), atol=4e-3)
+    act = jnp.zeros((1, spec.n_robots, 2))
+    _, o32b, r32, d32, _ = e32.step(s32, act)
+    _, o16b, r16, d16, _ = e16.step(s16, act)
+    assert o16b.scans.dtype == jnp.bfloat16
+    # rewards/termination are computed from f32 state, unaffected
+    np.testing.assert_allclose(np.asarray(r32), np.asarray(r16), atol=1e-6)

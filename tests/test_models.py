@@ -142,3 +142,56 @@ def test_cnn_fused_apply_matches_module():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_cnn_matmul_apply_matches_module_and_grads():
+    """cnn_matmul_apply (im2col convs -> matmul-only backward) matches
+    CNNPolicy.apply in value/mean and in parameter gradients."""
+    from rl_collision_avoidance_tpu.models.policy import cnn_matmul_apply
+
+    model = CNNPolicy()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 512)),
+                        jnp.zeros((1, 2)), jnp.zeros((1, 2)))
+    scans = jax.random.normal(jax.random.PRNGKey(1), (9, 3, 512))
+    goal = jax.random.normal(jax.random.PRNGKey(2), (9, 2))
+    speed = jax.random.normal(jax.random.PRNGKey(3), (9, 2))
+    v1, m1, l1 = model.apply(params, scans, goal, speed)
+    v2, m2, l2 = jax.jit(cnn_matmul_apply)(params, scans, goal, speed)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    loss1 = lambda p: ((model.apply(p, scans, goal, speed)[0] ** 2).sum()
+                       + (model.apply(p, scans, goal, speed)[1] ** 2).sum())
+    loss2 = lambda p: ((cnn_matmul_apply(p, scans, goal, speed)[0] ** 2).sum()
+                       + (cnn_matmul_apply(p, scans, goal, speed)[1] ** 2).sum())
+    g1 = jax.grad(loss1)(params)
+    g2 = jax.grad(loss2)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_trainer_apply_impls_agree():
+    """All three Trainer apply implementations produce the same policy
+    forward on the mini world's shapes."""
+    from rl_collision_avoidance_tpu.train import Trainer, TrainConfig
+
+    outs = {}
+    for impl in ("conv", "matmul", "fused"):
+        cfg = TrainConfig(world="mini", n_arenas=2, horizon=2,
+                          apply_impl=impl)
+        tr = Trainer(cfg)
+        params = tr.model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 3, 64)), jnp.zeros((1, 2)),
+                               jnp.zeros((1, 2)))
+        scans = jax.random.normal(jax.random.PRNGKey(1), (6, 3, 64))
+        g = jax.random.normal(jax.random.PRNGKey(2), (6, 2))
+        s = jax.random.normal(jax.random.PRNGKey(3), (6, 2))
+        outs[impl] = tr.apply_fn(params, scans, g, s)
+    for impl in ("matmul", "fused"):
+        np.testing.assert_allclose(np.asarray(outs["conv"][0]),
+                                   np.asarray(outs[impl][0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(outs["conv"][1]),
+                                   np.asarray(outs[impl][1]), atol=1e-6)
