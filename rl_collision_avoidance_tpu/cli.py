@@ -37,8 +37,9 @@ def _train(stage: str, args):
     from .utils.metrics import MetricLogger
 
     n_arenas = args.arenas or len(jax.devices())
-    cfg = (TrainConfig.stage1 if stage == "stage1" else TrainConfig.stage2)(
-        n_arenas=n_arenas, seed=args.seed, max_updates=args.updates)
+    maker = {"stage1": TrainConfig.stage1, "stage2": TrainConfig.stage2,
+             "circle_ft": TrainConfig.circle_ft}[stage]
+    cfg = maker(n_arenas=n_arenas, seed=args.seed, max_updates=args.updates)
     trainer = Trainer(cfg)
     logger = MetricLogger(args.log_dir)
     ckpt = CheckpointManager(f"{args.checkpoint_dir}/{stage}")
@@ -63,6 +64,15 @@ def main_stage2(argv=None):
     p = argparse.ArgumentParser(description="Train stage 2 (structured map)")
     _add_common(p)
     _train("stage2", p.parse_args(argv))
+
+
+def main_circle_ft(argv=None):
+    p = argparse.ArgumentParser(
+        description="Train stage 3: fine-tune on the jittered 50-robot "
+                    "circle swap (worlds.circle_train; warm-start from "
+                    "stage-2 params recommended)")
+    _add_common(p)
+    _train("circle_ft", p.parse_args(argv))
 
 
 def main_circle(argv=None):
@@ -109,10 +119,12 @@ def main_bench(argv=None):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rca")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("train-stage1", "train-stage2", "circle-test", "bench"):
+    for name in ("train-stage1", "train-stage2", "train-circle",
+                 "circle-test", "bench"):
         sub.add_parser(name, add_help=False)
     args, rest = p.parse_known_args(argv)
     {"train-stage1": main_stage1, "train-stage2": main_stage2,
+     "train-circle": main_circle_ft,
      "circle-test": main_circle, "bench": main_bench}[args.cmd](rest)
 
 
