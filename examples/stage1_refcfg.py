@@ -8,7 +8,14 @@ samples); this script runs the literal reference configuration — one arena,
 batch 1024 — and writes ``results/stage1_refcfg_metrics.csv`` so the two
 curves can be overlaid (``learning_curve.png``, examples/make_results.py).
 
-Usage: python examples/stage1_refcfg.py [--updates 5000]
+Measured (committed artifact): at the reference's own 5000-update duration
+the 1-arena config reaches ~43% goal-rate and is still climbing (each of
+its updates consumes 32x fewer samples); run longer it converges to the
+same plateau as the 32-arena headline run — 75% @ 10k, 83% @ 15k,
+**85.5% @ 20k updates vs 87% for 32-arena @ 5k** — i.e. the two configs
+are the same optimization trajectory at different samples-per-update.
+
+Usage: python examples/stage1_refcfg.py [--updates 20000]
 """
 import argparse
 import os
@@ -27,7 +34,7 @@ RESULTS = os.path.join(os.path.dirname(os.path.dirname(
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--updates", type=int, default=5000)
+    p.add_argument("--updates", type=int, default=20000)
     args = p.parse_args()
     enable_compilation_cache()
 
