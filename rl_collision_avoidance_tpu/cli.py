@@ -26,6 +26,11 @@ def _add_common(p):
     p.add_argument("--warm-start", type=str, default=None,
                    help="params-only checkpoint to initialize from "
                         "(curriculum transfer, ppo_stage2.py:194-200)")
+    p.add_argument("--logstd-min", type=float, default=None,
+                   help="floor for the policy logstd, projected after "
+                        "every optimizer step (entropy-collapse guard; "
+                        "default: none for stage 1/2 parity, -2.0 for "
+                        "the circle fine-tune)")
 
 
 def _train(stage: str, args):
@@ -40,6 +45,8 @@ def _train(stage: str, args):
     maker = {"stage1": TrainConfig.stage1, "stage2": TrainConfig.stage2,
              "circle_ft": TrainConfig.circle_ft}[stage]
     cfg = maker(n_arenas=n_arenas, seed=args.seed, max_updates=args.updates)
+    if args.logstd_min is not None:
+        cfg.ppo = cfg.ppo._replace(logstd_min=args.logstd_min)
     trainer = Trainer(cfg)
     logger = MetricLogger(args.log_dir)
     ckpt = CheckpointManager(f"{args.checkpoint_dir}/{stage}")
