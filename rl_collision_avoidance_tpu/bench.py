@@ -24,10 +24,9 @@ BASELINE_STEPS_PER_S = 5.0e6
 def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
                lidar_mode: str | None = None, world: str = "stage1",
                shard: bool = False, disc_cull_k: int | None = None,
-               fused: bool = False, obs_dtype=None):
+               obs_dtype=None):
     from .engine.env import Env
     from .models import CNNPolicy
-    from .models.policy import cnn_fused_apply
     from .worlds import get_world
     from . import models
 
@@ -56,10 +55,8 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
         key, k = jax.random.split(key)
         a, n = obs.scans.shape[:2]
         flat = lambda x: x.reshape(a * n, *x.shape[2:])
-        fwd = ((lambda p, *o: cnn_fused_apply(p, *o, dtype=policy_dtype))
-               if fused else model.apply)
-        _, mean, logstd = fwd(params, flat(obs.scans),
-                              flat(obs.goal), flat(obs.speed))
+        _, mean, logstd = model.apply(params, flat(obs.scans),
+                                      flat(obs.goal), flat(obs.speed))
         raw = distributions.sample(k, mean, logstd)
         act = jnp.stack([jnp.clip(raw[:, 0], 0.0, 1.0),
                          jnp.clip(raw[:, 1], -1.0, 1.0)],
@@ -82,11 +79,10 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
 def measure(n_arenas: int = 512, inner_steps: int = 1024, repeats: int = 5,
             policy_dtype=jnp.float32, lidar_mode: str | None = None,
             world: str = "stage1", shard: bool = False,
-            disc_cull_k: int | None = None, fused: bool = False,
-            obs_dtype=None):
+            disc_cull_k: int | None = None, obs_dtype=None):
     spec, run, carry = build_step(n_arenas, inner_steps, policy_dtype,
                                   lidar_mode, world, shard, disc_cull_k,
-                                  fused, obs_dtype)
+                                  obs_dtype)
     env_state, obs, key = carry
     # compile + warmup.  NOTE: timings must fetch a result to host —
     # block_until_ready returns early on the axon runtime (docs/PERF.md).
@@ -192,10 +188,6 @@ def main(argv=None):
                    help="opt-in approximate disc culling (k nearest "
                         "neighbors; NOT the parity config — see "
                         "lidar.raycast_culled)")
-    p.add_argument("--fused", action="store_true",
-                   help="stacked-first-conv policy forward "
-                        "(models.policy.cnn_fused_apply, numerically "
-                        "identical; one obs read instead of two)")
     p.add_argument("--train", action="store_true",
                    help="measure full training (rollout+GAE+PPO) throughput")
     p.add_argument("--obs-bf16", action="store_true",
@@ -249,7 +241,6 @@ def main(argv=None):
             steps_per_s = measure(n_arenas, args.inner_steps, args.repeats,
                                   dtype, args.lidar,
                                   disc_cull_k=args.disc_cull,
-                                  fused=args.fused,
                                   obs_dtype=(jnp.bfloat16 if args.obs_bf16
                                              else None))
             break
