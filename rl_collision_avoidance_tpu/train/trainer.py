@@ -137,7 +137,10 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         key, k_env, k_model = jax.random.split(key, 3)
         env_keys = jax.random.split(k_env, cfg.n_arenas)
-        env_state, _ = self.env.reset(env_keys)
+        # jit the reset: eager op-by-op dispatch of the fused reset over a
+        # sharded arena batch costs minutes on CPU meshes (driver dryrun)
+        # and pays per-op tunnel RTT on TPU.
+        env_state, _ = jax.jit(self.env.reset)(env_keys)
         n, f, b = self.spec.n_robots, self.spec.laser_frames, self.spec.n_beams
         params = self.model.init(k_model, jnp.zeros((1, f, b)),
                                  jnp.zeros((1, 2)), jnp.zeros((1, 2)))
