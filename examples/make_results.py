@@ -184,7 +184,7 @@ def evaluate(quick: bool = False):
     this deterministic-lockstep engine (PARITY.md, timing deviation)."""
     params, model = _load_params("circle_ft_params.npz")
     steps = 600 if quick else 3000
-    arenas = 2 if quick else 16
+    arenas = 2 if quick else 32
     t0 = time.time()
     out = {
         "policy": "circle_ft (stage-3 fine-tune, see META.json phases)",
@@ -249,8 +249,19 @@ def main():
     start = order.index(args.from_stage)
 
     if start > 0:
-        meta["phases"].append({"stage": "reused",
-                               "stages": order[:start]})
+        # Carry forward the reused stages' phase records (configs,
+        # durations) from the existing META so partial re-runs don't erase
+        # the provenance of the committed training artifacts.
+        prev_phases = []
+        meta_path = os.path.join(RESULTS, "META.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev = json.load(f)
+            prev_phases = [ph for ph in prev.get("phases", [])
+                           if ph.get("stage") in order[:start]]
+        meta["phases"].extend(prev_phases or [{"stage": "reused",
+                                               "stages": order[:start]}])
+        meta["reused_stages"] = order[:start]
     if start <= 0:
         meta["phases"].append(train("stage1", args.stage1_updates,
                                     n_arenas=32))
