@@ -38,7 +38,8 @@ def _train(stage: str, args):
 
     enable_compilation_cache()
     from .train import Trainer, TrainConfig
-    from .utils.checkpoint import CheckpointManager, load_params
+    from .utils.checkpoint import (CheckpointManager, load_params,
+                                   load_params_npz)
     from .utils.metrics import MetricLogger
 
     n_arenas = args.arenas or len(jax.devices())
@@ -55,8 +56,11 @@ def _train(stage: str, args):
     if args.resume and ckpt.latest_step() is not None:
         state = trainer.shard_state(ckpt.restore(ckpt.latest_step(), state))
     elif args.warm_start:
-        params = load_params(args.warm_start, jax.device_get(state.params))
-        state = trainer.shard_state(state.replace(params=params))
+        tmpl = jax.device_get(state.params)
+        loader = (load_params_npz if args.warm_start.endswith(".npz")
+                  else load_params)
+        state = trainer.shard_state(state.replace(
+            params=loader(args.warm_start, tmpl)))
     trainer.train(state, updates=args.updates, log_fn=logger.log_update,
                   checkpoint_manager=ckpt)
 
@@ -99,12 +103,17 @@ def main_circle(argv=None):
 
     from .eval.circle import run_circle_eval
     from .models import CNNPolicy
-    from .utils.checkpoint import load_params
+    from .utils.checkpoint import load_params, load_params_npz
     import jax.numpy as jnp
 
     model = CNNPolicy()
     if args.params:
-        params = load_params(args.params)
+        if args.params.endswith(".npz"):
+            tmpl = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 512)),
+                              jnp.zeros((1, 2)), jnp.zeros((1, 2)))
+            params = load_params_npz(args.params, tmpl)
+        else:
+            params = load_params(args.params)
     else:
         # The reference exits when the checkpoint is missing
         # (circle_test.py:116-118); we default to a random policy so the

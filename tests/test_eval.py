@@ -84,3 +84,22 @@ def test_circle_eval_env_cache_keys_on_geometry_digest():
     env_b = circle_eval._ENV_CACHE[
         [k for k in keys if circle_eval._ENV_CACHE[k].spec is spec_b][0]]
     assert env_a is not env_b
+
+
+def test_circle_cli_accepts_npz_params(tmp_path, capsys):
+    """rca-circle-test --params <file>.npz (the documented flow with the
+    committed results/*_params.npz artifacts) must load via the npz
+    loader, not orbax."""
+    import json
+
+    from rl_collision_avoidance_tpu import cli
+    from rl_collision_avoidance_tpu.utils.checkpoint import save_params_npz
+
+    model = CNNPolicy()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 512)),
+                        jnp.zeros((1, 2)), jnp.zeros((1, 2)))
+    path = str(tmp_path / "p.npz")
+    save_params_npz(path, params)
+    cli.main_circle(["--params", path, "--max-steps", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_robots"] == 50
