@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import jax
@@ -61,8 +62,15 @@ def _train(stage: str, args):
                   else load_params)
         state = trainer.shard_state(state.replace(
             params=loader(args.warm_start, tmpl)))
-    trainer.train(state, updates=args.updates, log_fn=logger.log_update,
-                  checkpoint_manager=ckpt)
+    state = trainer.train(state, updates=args.updates,
+                          log_fn=logger.log_update, checkpoint_manager=ckpt)
+    # Params-only export for curriculum transfer (the reference's
+    # torch.save(state_dict) role): warm-start the next stage with
+    # --warm-start <dir>/<stage>/params.npz.
+    from .utils.checkpoint import save_params_npz
+
+    save_params_npz(os.path.join(ckpt.directory, "params.npz"),
+                    jax.device_get(state.params))
 
 
 def main_stage1(argv=None):
