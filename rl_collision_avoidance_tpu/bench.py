@@ -251,8 +251,7 @@ def main(argv=None):
             msg = str(e)
             if not isinstance(e, MemoryError) and not any(
                     s in msg.upper() for s in
-                    ("RESOURCE_EXHAUSTED", "OUT OF MEMORY", "OOM",
-                     "ALLOCAT")):
+                    ("RESOURCE_EXHAUSTED", "OUT OF MEMORY", "OOM")):
                 raise
             print(f"bench: {n_arenas} arenas exhausted device memory "
                   f"({msg.splitlines()[0][:120]}); retrying smaller",

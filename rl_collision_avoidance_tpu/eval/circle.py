@@ -94,7 +94,11 @@ def run_circle_eval(params, model: CNNPolicy | None = None, spec=None,
         h = hashlib.sha1()
         for arr in arrays:
             if arr is not None:
-                h.update(np.ascontiguousarray(arr).tobytes())
+                a = np.ascontiguousarray(arr)
+                # Frame each array with its shape/dtype so byte streams of
+                # different layouts can't alias across concatenation.
+                h.update(repr((a.shape, a.dtype.str)).encode())
+                h.update(a.tobytes())
         return h.hexdigest()[:16]
 
     cache_key = (spec.name, spec.n_robots,

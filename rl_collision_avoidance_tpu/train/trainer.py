@@ -117,7 +117,12 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
         self.spec = get_world(cfg.world)
-        self.env = Env(self.spec, lidar_mode=cfg.lidar_mode)
+        # obs_store_dtype is plumbed into the env so the live scan history
+        # (A, N, F, B) — not just the rollout buffer — is stored at the
+        # reduced precision: the training-mode analog of the acting bench's
+        # --obs-bf16 (docs/PERF.md round 4).
+        self.env = Env(self.spec, lidar_mode=cfg.lidar_mode,
+                       obs_dtype=cfg.obs_store_dtype)
         self.model = CNNPolicy(dtype=cfg.policy_dtype)
         from ..models.policy import cnn_fused_apply, cnn_matmul_apply
         impls = {
