@@ -195,11 +195,13 @@ def main(argv=None):
                         "scan_hist state tensor, Env(obs_dtype=...); "
                         "training: additionally the rollout buffer) — "
                         "halves the dominant HBM traffic at large A")
-    p.add_argument("--apply-impl", choices=["conv", "matmul", "fused"],
+    p.add_argument("--apply-impl",
+                   choices=["conv", "matmul", "fused", "pallas"],
                    default="conv",
-                   help="with --train: policy apply implementation "
-                        "(matmul = im2col convs, numerically equivalent, "
-                        "matmul-only backward)")
+                   help="with --train: PPO-update policy apply "
+                        "implementation (pallas = fused VMEM-resident "
+                        "trunk fwd+bwd kernels, ops/trunk_pallas.py; "
+                        "matmul = im2col convs, documented negative)")
     p.add_argument("--scaling", type=int, default=None, metavar="N",
                    help="CPU data-parallel scaling proof at N virtual devices")
     args = p.parse_args(argv)

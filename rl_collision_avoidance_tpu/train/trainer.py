@@ -49,12 +49,14 @@ class TrainConfig:
     # Lidar backend for the training env ("xla"/"pallas"/"dense"); None =
     # the engine's platform default (xla on TPU, dense on CPU).
     lidar_mode: str | None = None
-    # Policy apply implementation: "conv" = flax CNNPolicy.apply (parity
-    # reference), "matmul" = models.policy.cnn_matmul_apply — numerically
-    # equivalent im2col formulation whose BACKWARD is pure matmuls (the
-    # lax.conv filter-gradient kernels are the training bottleneck on TPU;
-    # docs/PERF.md update-phase table), "fused" = stacked-first-conv
-    # forward (acting-path variant).
+    # Policy apply implementation for the PPO UPDATE phase: "conv" = flax
+    # CNNPolicy.apply (parity reference), "matmul" = im2col formulation
+    # (documented negative result), "fused" = stacked-first-conv forward,
+    # "pallas" = ops.trunk_pallas.cnn_pallas_apply — VMEM-resident fused
+    # trunk fwd + custom-vjp bwd that never materializes conv activations
+    # in HBM (the measured update-phase bottleneck, docs/PERF.md).  The
+    # rollout always uses the flax apply (a Pallas custom call inside the
+    # rollout scan would pay ~0.4 ms dispatch per env step).
     apply_impl: str = "conv"
 
     @staticmethod
@@ -125,12 +127,18 @@ class Trainer:
                        obs_dtype=cfg.obs_store_dtype)
         self.model = CNNPolicy(dtype=cfg.policy_dtype)
         from ..models.policy import cnn_fused_apply, cnn_matmul_apply
+        from ..ops.trunk_pallas import cnn_pallas_apply
         impls = {
             "conv": self.model.apply,
             "matmul": partial(cnn_matmul_apply, dtype=cfg.policy_dtype),
             "fused": partial(cnn_fused_apply, dtype=cfg.policy_dtype),
+            "pallas": partial(cnn_pallas_apply, dtype=cfg.policy_dtype),
         }
-        self.apply_fn = impls[cfg.apply_impl]
+        # Rollout/bootstrap forward: always the flax apply.  PPO update:
+        # the configured implementation (see TrainConfig.apply_impl).
+        self.apply_fn = (impls["conv"] if cfg.apply_impl == "pallas"
+                         else impls[cfg.apply_impl])
+        self.update_apply_fn = impls[cfg.apply_impl]
         self.tx = optax.adam(cfg.ppo.learning_rate)  # torch Adam defaults
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
         self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
@@ -247,8 +255,8 @@ class Trainer:
 
         key, k_ppo = jax.random.split(key)
         params, opt_state, loss_metrics = ppo_update_sharded(
-            self.apply_fn, state.params, state.opt_state, self.tx, batch,
-            k_ppo, cfg.ppo, self.mesh, meshlib.DATA_AXIS)
+            self.update_apply_fn, state.params, state.opt_state, self.tx,
+            batch, k_ppo, cfg.ppo, self.mesh, meshlib.DATA_AXIS)
 
         episodes = jnp.sum(done_t & info_t.valid.astype(bool))
         metrics = {
