@@ -24,7 +24,9 @@ BASELINE_STEPS_PER_S = 5.0e6
 def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
                lidar_mode: str | None = None, world: str = "stage1",
                shard: bool = False, disc_cull_k: int | None = None,
-               obs_dtype=None):
+               obs_dtype=None, footprint: str | None = None):
+    import dataclasses
+
     from .engine.env import Env
     from .models import CNNPolicy
     from .worlds import get_world
@@ -32,6 +34,8 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
 
     distributions = models.distributions
     spec = get_world(world)
+    if footprint is not None:
+        spec = dataclasses.replace(spec, footprint=footprint)
     env = Env(spec, lidar_mode=lidar_mode, disc_cull_k=disc_cull_k,
               obs_dtype=obs_dtype)
     model = CNNPolicy(dtype=policy_dtype)
@@ -79,10 +83,11 @@ def build_step(n_arenas: int, inner_steps: int, policy_dtype=jnp.float32,
 def measure(n_arenas: int = 512, inner_steps: int = 1024, repeats: int = 5,
             policy_dtype=jnp.float32, lidar_mode: str | None = None,
             world: str = "stage1", shard: bool = False,
-            disc_cull_k: int | None = None, obs_dtype=None):
+            disc_cull_k: int | None = None, obs_dtype=None,
+            footprint: str | None = None):
     spec, run, carry = build_step(n_arenas, inner_steps, policy_dtype,
                                   lidar_mode, world, shard, disc_cull_k,
-                                  obs_dtype)
+                                  obs_dtype, footprint)
     env_state, obs, key = carry
     # compile + warmup.  NOTE: timings must fetch a result to host —
     # block_until_ready returns early on the axon runtime (docs/PERF.md).
@@ -185,9 +190,14 @@ def main(argv=None):
     p.add_argument("--lidar", choices=["xla", "pallas", "dense"], default=None,
                    help="lidar backend (default: engine's platform default)")
     p.add_argument("--disc-cull", type=int, default=None, metavar="K",
-                   help="opt-in approximate disc culling (k nearest "
-                        "neighbors; NOT the parity config — see "
-                        "lidar.raycast_culled)")
+                   help="opt-in approximate robot-silhouette culling (k "
+                        "nearest neighbors; NOT the parity config — see "
+                        "lidar.raycast_culled / raycast_boxes_culled)")
+    p.add_argument("--footprint", choices=["disc", "rect"], default=None,
+                   help="override the world's collision/silhouette "
+                        "footprint (rect = Stage's exact 0.44 x 0.38 box "
+                        "for both collision and lidar; combine with "
+                        "--disc-cull beyond eval scale)")
     p.add_argument("--train", action="store_true",
                    help="measure full training (rollout+GAE+PPO) throughput")
     p.add_argument("--obs-bf16", action="store_true",
@@ -244,7 +254,8 @@ def main(argv=None):
                                   dtype, args.lidar,
                                   disc_cull_k=args.disc_cull,
                                   obs_dtype=(jnp.bfloat16 if args.obs_bf16
-                                             else None))
+                                             else None),
+                                  footprint=args.footprint)
             break
         except (jax.errors.JaxRuntimeError, MemoryError) as e:
             # Halve the batch ONLY on resource exhaustion (device OOM /

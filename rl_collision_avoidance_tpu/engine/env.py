@@ -109,10 +109,14 @@ class Env:
                  disc_cull_k: int | None = None,
                  rect_silhouette: bool | None = None,
                  obs_dtype=None):
-        """``disc_cull_k``: opt-in APPROXIMATE lidar disc culling (test each
-        robot's beams against only its k nearest neighbors; exact while at
-        most k robots are in sensor range) — see lidar.raycast_culled.  The
-        default (None) is the exact parity configuration.
+        """``disc_cull_k``: opt-in APPROXIMATE robot-silhouette culling
+        (test each robot's beams against only its k nearest neighbors;
+        exact while at most k robots are in sensor range) — see
+        lidar.raycast_culled.  Applies to disc silhouettes and, with
+        ``footprint="rect"``, to the oriented-box silhouettes
+        (lidar.raycast_boxes_culled) — the box path is dense O(N^2 B)
+        otherwise and needs this beyond eval scale.  The default (None) is
+        the exact parity configuration.
 
         ``rect_silhouette``: raytrace other robots as their oriented
         0.44 x 0.38 m rectangles (Stage's exact behavior) instead of discs.
@@ -136,8 +140,6 @@ class Env:
         self.rect_silhouette = bool(rect_silhouette)
         self._rect_dims = ((spec.rect_half_len, spec.rect_half_wid)
                            if self.rect_silhouette else None)
-        if self.rect_silhouette and disc_cull_k is not None:
-            raise ValueError("disc_cull_k applies to disc silhouettes only")
         self.n_robots = spec.n_robots
         self.n_beams = spec.n_beams
         self.obs_beams = spec.obs_beams or spec.n_beams

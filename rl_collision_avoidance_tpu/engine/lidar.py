@@ -131,32 +131,20 @@ def raycast_discs(origins, dirs, centers, radius, exists=None):
     return jnp.min(jnp.where(hit, t, _BIG), axis=-1)
 
 
-def raycast_boxes(pose, dx, dy, half_len, half_wid):
-    """Min hit distance of each robot's rays against the other robots'
-    ORIENTED RECTANGLES — Stage raytraces the actual 0.44 x 0.38 m footprint
-    box (``worlds/stage1.world:83``), which this reproduces exactly for
-    ``WorldSpec(footprint="rect")`` worlds (the disc silhouette of
-    :func:`raycast_discs` is the fast approximation used for disc worlds).
+def _box_slab_min(px, py, cj, sj, dx, dy, half_len, half_wid, hit_mask):
+    """Shared slab core of the oriented-box raycast.
 
-    pose: (..., N, 3); dx/dy: (..., N, B) world-frame beam components.
-    Returns (..., N, B) distances (BIG where no hit), self excluded.
+    px/py: (..., N, M) ray origins in each target box's body frame;
+    cj/sj: (..., N, M) target box heading cos/sin; dx/dy: (..., N, B)
+    world-frame beam components; hit_mask: (..., N, 1, M) extra hit
+    condition (self/validity).  Returns (..., N, B) min entry distance.
 
-    Slab method in each target box's body frame: with p = R_j^T (o_i - c_j)
-    and q = R_j^T d, the entry distance is t_near = max_axis(min(t0, t1)),
-    t{0,1} = (±h - p) / q; hit iff t_near <= t_far and t_near > 0 (a ray
-    starting inside a box reports no hit, matching the disc path's behavior
-    for overlapping robots).
+    t_near = max_axis(min(t0, t1)) with t{0,1} = (±h - p)/q in box frame;
+    hit iff t_near <= t_far and t_near > 0 (a ray starting inside a box
+    reports no hit, matching the disc path's behavior for overlaps).
     """
-    n = pose.shape[-2]
-    c, s = jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])      # (..., N)
-    # center_j - origin_i, then into box j's frame -> p (..., N_i, M_j)
-    oc = pose[..., None, :, :2] - pose[..., :, None, :2]     # (..., N, M, 2)
-    ocx, ocy = oc[..., 0], oc[..., 1]
-    cj, sj = c[..., None, :], s[..., None, :]                # (..., 1, M)
-    px = -(ocx * cj + ocy * sj)
-    py = -(-ocx * sj + ocy * cj)
     # beam dirs into box j's frame -> q (..., N, B, M)
-    cjb, sjb = c[..., None, None, :], s[..., None, None, :]
+    cjb, sjb = cj[..., None, :], sj[..., None, :]
     qx = dx[..., None] * cjb + dy[..., None] * sjb
     qy = -dx[..., None] * sjb + dy[..., None] * cjb
 
@@ -174,9 +162,66 @@ def raycast_boxes(pose, dx, dy, half_len, half_wid):
     ty0, ty1 = slab(py[..., None, :], qy, half_wid)
     t_near = jnp.maximum(tx0, ty0)
     t_far = jnp.minimum(tx1, ty1)
-    hit = (t_near <= t_far) & (t_near > _EPS)
-    hit = hit & ~jnp.eye(n, dtype=bool)[..., :, None, :]
+    hit = (t_near <= t_far) & (t_near > _EPS) & hit_mask
     return jnp.min(jnp.where(hit, t_near, _BIG), axis=-1)
+
+
+def raycast_boxes(pose, dx, dy, half_len, half_wid):
+    """Min hit distance of each robot's rays against the other robots'
+    ORIENTED RECTANGLES — Stage raytraces the actual 0.44 x 0.38 m footprint
+    box (``worlds/stage1.world:83``), which this reproduces exactly for
+    ``WorldSpec(footprint="rect")`` worlds (the disc silhouette of
+    :func:`raycast_discs` is the fast approximation used for disc worlds).
+
+    pose: (..., N, 3); dx/dy: (..., N, B) world-frame beam components.
+    Returns (..., N, B) distances (BIG where no hit), self excluded.
+
+    Dense O(N^2 B): every robot tests every other box.  For N beyond eval
+    scale use :func:`raycast_boxes_culled`.
+    """
+    n = pose.shape[-2]
+    c, s = jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])      # (..., N)
+    # center_j - origin_i, then into box j's frame -> p (..., N_i, M_j)
+    oc = pose[..., None, :, :2] - pose[..., :, None, :2]     # (..., N, M, 2)
+    ocx, ocy = oc[..., 0], oc[..., 1]
+    cj = jnp.broadcast_to(c[..., None, :], oc.shape[:-1])    # (..., N, M)
+    sj = jnp.broadcast_to(s[..., None, :], oc.shape[:-1])
+    px = -(ocx * cj + ocy * sj)
+    py = -(-ocx * sj + ocy * cj)
+    not_self = ~jnp.eye(n, dtype=bool)[..., :, None, :]
+    return _box_slab_min(px, py, cj, sj, dx, dy, half_len, half_wid,
+                         not_self)
+
+
+def raycast_boxes_culled(pose, dx, dy, half_len, half_wid, k):
+    """:func:`raycast_boxes` against only the ``k`` nearest other robots.
+
+    The culling analog of ``disc_k`` for rect-footprint worlds: the dense
+    box path's (A, N, B, M) slab intermediates are its scaling wall
+    (docs/PERF.md round 3) — culling caps M at ``k``.  Top-k is on center
+    distance, so the result is EXACT whenever at most ``k`` other robots
+    are within ``max_range`` + circumradius of the sensor; in denser
+    pileups a beam may keep a slightly-far reading where a farther
+    (usually occluded) robot would have been hit — the same approximation
+    contract as the disc path's ``disc_k``.
+
+    pose: (..., N, 3); dx/dy: (..., N, B).  Requires k <= N-1.
+    """
+    n = pose.shape[-2]
+    assert k <= n - 1, "cull k must leave out at least the robot itself"
+    oc_all = pose[..., None, :, :2] - pose[..., :, None, :2]   # (..., N, M, 2)
+    d2 = jnp.sum(oc_all * oc_all, axis=-1)
+    d2 = jnp.where(jnp.eye(n, dtype=bool), _BIG, d2)           # excl. self
+    _, idx = jax.lax.top_k(-d2, k)                             # (..., N, k)
+    take = lambda v: jnp.take_along_axis(v, idx, axis=-1)
+    ocx, ocy = take(oc_all[..., 0]), take(oc_all[..., 1])
+    th = jnp.broadcast_to(pose[..., None, :, 2], d2.shape)     # (..., N, M)
+    th = take(th)
+    cj, sj = jnp.cos(th), jnp.sin(th)                          # (..., N, k)
+    px = -(ocx * cj + ocy * sj)
+    py = -(-ocx * sj + ocy * cj)
+    always = jnp.ones(px.shape[:-1] + (1, k), bool)
+    return _box_slab_min(px, py, cj, sj, dx, dy, half_len, half_wid, always)
 
 
 def raycast_culled(pose, local_dirs, culled, radius, max_range, disc_k=None,
@@ -207,8 +252,9 @@ def raycast_culled(pose, local_dirs, culled, radius, max_range, disc_k=None,
 
     ``rect``: optional (half_len, half_wid) — raytrace the other robots as
     ORIENTED RECTANGLES (:func:`raycast_boxes`, Stage's exact silhouette for
-    ``footprint="rect"`` worlds) instead of discs.  Mutually exclusive with
-    ``disc_k``.
+    ``footprint="rect"`` worlds) instead of discs.  With ``disc_k`` set the
+    box test is culled to the k nearest neighbors
+    (:func:`raycast_boxes_culled`) — same approximation contract.
     """
     n = pose.shape[-2]
     x = pose[..., 0:1]
@@ -231,8 +277,11 @@ def raycast_culled(pose, local_dirs, culled, radius, max_range, disc_k=None,
     d_seg = jnp.min(jnp.where(hit, t, _BIG), axis=-1)     # (A,N,B)
 
     if rect is not None:
-        assert disc_k is None, "disc_k and rect are mutually exclusive"
-        d_rob = raycast_boxes(pose, dx, dy, rect[0], rect[1])
+        if disc_k is not None and disc_k < n:
+            d_rob = raycast_boxes_culled(pose, dx, dy, rect[0], rect[1],
+                                         min(disc_k, n - 1))
+        else:
+            d_rob = raycast_boxes(pose, dx, dy, rect[0], rect[1])
         return jnp.minimum(jnp.minimum(d_seg, d_rob), max_range)
 
     oc = pose[..., None, :, :2] - pose[..., :, None, :2]  # (A,N,M,2)

@@ -223,3 +223,61 @@ def test_disc_cull_exact_when_k_covers_neighbors():
     exact_s = np.asarray(jax.jit(env._raw_scan)(jnp.asarray(spread)))
     k4_s = np.asarray(jax.jit(env_k4._raw_scan)(jnp.asarray(spread)))
     np.testing.assert_array_equal(exact_s, k4_s)
+
+
+def test_rect_cull_exact_when_k_covers_neighbors():
+    """raycast_boxes_culled (the disc_cull_k analog for rect footprints):
+    k = N-1 matches the dense box path everywhere, and a small k matches
+    whenever at most k robots are within sensor range."""
+    import jax
+
+    hl, hw = 0.22, 0.19
+    n = 8
+    key = jax.random.PRNGKey(5)
+    pose = jax.random.uniform(key, (2, n, 3), minval=-3.0, maxval=3.0)
+    th = pose[..., 2]
+    c, s = jnp.cos(th), jnp.sin(th)
+    lx, ly = DIRS[:, 0], DIRS[:, 1]
+    dx = c[..., None] * lx - s[..., None] * ly
+    dy = s[..., None] * lx + c[..., None] * ly
+    dense = np.asarray(jax.jit(lidar.raycast_boxes, static_argnums=(3, 4))(
+        pose, dx, dy, hl, hw))
+    culled = np.asarray(jax.jit(lidar.raycast_boxes_culled,
+                                static_argnums=(3, 4, 5))(
+        pose, dx, dy, hl, hw, n - 1))
+    np.testing.assert_allclose(culled, dense, atol=1e-6)
+    # spread ring, >6 m apart: k=2 already covers every in-range neighbor
+    # (clip both to max_range as the env does before comparing)
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    spread = jnp.asarray(np.stack(
+        [9.0 * np.cos(ang), 9.0 * np.sin(ang), ang], -1,
+        dtype=np.float32)[None])
+    ths = spread[..., 2]
+    cs, ss = jnp.cos(ths), jnp.sin(ths)
+    dxs = cs[..., None] * lx - ss[..., None] * ly
+    dys = ss[..., None] * lx + cs[..., None] * ly
+    dense_s = np.minimum(np.asarray(lidar.raycast_boxes(
+        spread, dxs, dys, hl, hw)), 6.0)
+    culled_s = np.minimum(np.asarray(lidar.raycast_boxes_culled(
+        spread, dxs, dys, hl, hw, 2)), 6.0)
+    np.testing.assert_allclose(culled_s, dense_s, atol=1e-6)
+
+
+def test_env_rect_cull_matches_dense_boxes():
+    """Env(footprint=rect, disc_cull_k=N-1) == the uncull'd rect env."""
+    import dataclasses
+
+    import jax
+
+    from rl_collision_avoidance_tpu.engine.env import Env
+    from rl_collision_avoidance_tpu.worlds import mini
+
+    spec = dataclasses.replace(mini(), footprint="rect")
+    env = Env(spec, lidar_mode="xla")
+    env_c = Env(spec, lidar_mode="xla", disc_cull_k=spec.n_robots - 1)
+    key = jax.random.PRNGKey(13)
+    pose = jax.random.uniform(key, (2, spec.n_robots, 3),
+                              minval=-2.0, maxval=2.0)
+    np.testing.assert_allclose(np.asarray(jax.jit(env._raw_scan)(pose)),
+                               np.asarray(jax.jit(env_c._raw_scan)(pose)),
+                               atol=1e-5)
