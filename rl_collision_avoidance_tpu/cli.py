@@ -41,9 +41,42 @@ def _add_common(p):
                    help="store the lidar scan history and rollout obs "
                         "buffer in bfloat16 (halves the dominant HBM "
                         "traffic; ~1-2 mm quantization at 6 m range)")
+    p.add_argument("--world", type=str, default=None,
+                   help="override the stage's world (testing/experiments; "
+                        "the stage presets pick their parity world)")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="override the PPO minibatch size (default: the "
+                        "stage preset scaled by the arena count)")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a device trace (XProf/TensorBoard) of 3 "
+                        "post-warmup updates into DIR")
+    # Multi-host launch (jax.distributed): run the SAME command on every
+    # host with its own --process-id; arenas shard over all chips of the
+    # slice and the only cross-host traffic is the gradient psum
+    # (docs/PERF.md, collective-volume budget).  See README "Multi-host".
+    p.add_argument("--coordinator", type=str, default=None, metavar="IP:PORT",
+                   help="coordinator address for jax.distributed (host 0's "
+                        "reachable IP:port); omit for single-host")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total number of launched processes (hosts)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank in [0, num-processes)")
 
 
 def _train(stage: str, args):
+    from .parallel.mesh import setup_distributed
+
+    # Honor JAX_PLATFORMS even where a platform plugin's site hook forces
+    # its own value at interpreter start (the axon TPU plugin does).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # Must run before any JAX backend use so every process sees the global
+    # device set (the reference's mpiexec rank wiring, README.md:30-46,
+    # collapsed into three flags).
+    setup_distributed(args.coordinator, args.num_processes, args.process_id)
+    multiproc = jax.process_count() > 1
+    proc0 = jax.process_index() == 0
+
     from .utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -56,6 +89,10 @@ def _train(stage: str, args):
     maker = {"stage1": TrainConfig.stage1, "stage2": TrainConfig.stage2,
              "circle_ft": TrainConfig.circle_ft}[stage]
     cfg = maker(n_arenas=n_arenas, seed=args.seed, max_updates=args.updates)
+    if args.world is not None:
+        cfg.world = args.world
+    if args.batch_size is not None:
+        cfg.ppo = cfg.ppo._replace(batch_size=args.batch_size)
     if args.logstd_min is not None:
         cfg.ppo = cfg.ppo._replace(logstd_min=args.logstd_min)
     if args.bf16:
@@ -65,11 +102,16 @@ def _train(stage: str, args):
         import jax.numpy as jnp
         cfg.obs_store_dtype = jnp.bfloat16
     trainer = Trainer(cfg)
-    logger = MetricLogger(args.log_dir)
-    ckpt = CheckpointManager(f"{args.checkpoint_dir}/{stage}")
+    # Host-side IO is rank-0-only.  The full-train-state (exact-resume)
+    # checkpoint is single-host: its env_state shards are not addressable
+    # from one process on a multi-host mesh; params (replicated) still
+    # export everywhere below — the reference's torch.save scope.
+    logger = MetricLogger(args.log_dir) if proc0 else None
+    ckpt = (CheckpointManager(f"{args.checkpoint_dir}/{stage}")
+            if not multiproc else None)
 
     state = trainer.init_state()
-    if args.resume and ckpt.latest_step() is not None:
+    if args.resume and ckpt is not None and ckpt.latest_step() is not None:
         state = trainer.shard_state(ckpt.restore(ckpt.latest_step(), state))
     elif args.warm_start:
         tmpl = jax.device_get(state.params)
@@ -78,14 +120,19 @@ def _train(stage: str, args):
         state = trainer.shard_state(state.replace(
             params=loader(args.warm_start, tmpl)))
     state = trainer.train(state, updates=args.updates,
-                          log_fn=logger.log_update, checkpoint_manager=ckpt)
+                          log_fn=logger.log_update if logger else None,
+                          checkpoint_manager=ckpt, profile_dir=args.profile)
     # Params-only export for curriculum transfer (the reference's
     # torch.save(state_dict) role): warm-start the next stage with
     # --warm-start <dir>/<stage>/params.npz.
-    from .utils.checkpoint import save_params_npz
+    if proc0:
+        from .utils.checkpoint import save_params_npz
 
-    save_params_npz(os.path.join(ckpt.directory, "params.npz"),
-                    jax.device_get(state.params))
+        out_dir = (ckpt.directory if ckpt is not None
+                   else os.path.join(args.checkpoint_dir, stage))
+        os.makedirs(out_dir, exist_ok=True)
+        save_params_npz(os.path.join(out_dir, "params.npz"),
+                        jax.device_get(state.params))
 
 
 def main_stage1(argv=None):

@@ -8,29 +8,42 @@ the backward pass (conv1 out alone is 4.3 GB/trunk/minibatch), re-reads
 them, and lowers the tiny-channel conv filter-gradient kernels far below
 matmul rates.
 
-These kernels collapse that traffic.  Each grid program processes a tile of
-samples entirely in VMEM:
+These kernels collapse that traffic.  Each grid program pushes a tile of
+samples through one whole trunk in VMEM:
 
 * **forward** — conv1 (k5 s2 p1) -> relu -> conv2 (k3 s2 p1) -> relu ->
-  flatten -> fc1 -> relu, per trunk, writing only the (tile, 256) trunk
-  features back to HBM.  No intermediate activation ever touches HBM.
+  flatten -> fc1 -> relu, writing only the (tile, 256) trunk features back
+  to HBM.  No intermediate activation ever touches HBM.
 * **backward** — recomputes the tile's activations in VMEM (FLOPs are
-  cheap; the convs are ~1/3 of the fc1 matmul) and accumulates the six
-  parameter gradients across tiles directly in the VMEM-resident output
-  blocks.  ``dX`` is NOT computed: the lidar observation is data, never
-  differentiated through (the custom_vjp returns a zeros cotangent that
-  XLA dead-code-eliminates).
+  cheap; both convs together are ~half the fc1 matmul) and accumulates the
+  six parameter gradients across tiles directly in the VMEM-resident
+  output blocks.  ``dX`` is NOT computed: the lidar observation is data,
+  never differentiated through (the custom_vjp returns a zeros cotangent
+  that XLA dead-code-eliminates).
 
-Both convs are expressed as matmuls over statically-sliced even/odd
-decompositions of the (padded) spatial axis — stride-2 sampling becomes a
-``reshape(..., L/2, 2, C)`` — so the MXU sees plain dots and Mosaic never
-meets a strided memory access.  The backward's transposed conv (dconv1_out)
-is the same decomposition run in reverse: per-tap matmuls against W2^T,
-then an interleave.
+Layout rules learned the hard way (v1 of this kernel was 34x slower than
+XLA's forward):
+
+* Nothing with a tiny minor dimension may live in VMEM: a (.., F=3)
+  operand is lane-padded 3 -> 128 (42x), and every relayout/concat on it
+  is near-unimplemented or glacial.  The conv1 patch matrix (B, L1, 5F)
+  is therefore built by XLA in HBM — im2col traffic at bf16 costs ~1 ms
+  per read vs hundreds of ms of in-kernel layout work.  (The all-XLA
+  im2col apply is still a loser — models.policy.cnn_matmul_apply, 148k
+  f32 / 225k bf16 steps/s end-to-end — because XLA also *differentiates
+  through* the patch gather; here dX is never formed.)
+* Mosaic cannot merge a sublane dim into the lane dim: ``(TB, L2, 32) ->
+  (TB, 4096)`` is an unsupported shape cast.  The fc1 flatten instead
+  goes through the TRANSPOSED flat matrix: ``transpose(conv2) ->
+  (L2, 32, TB) -> reshape (4096, TB)`` (leading-dim merges are legal) and
+  fc1/its gradients become single big-K dot_generals.
+* Stride-2 window sampling is even/odd ``reshape(.., L/2, 2, C)`` on a
+  sublane dim (legal) — never a strided slice.
 
 The grid is (2 trunks, n_tiles) trunk-major: one trunk's weights stay
-VMEM-resident across all its tiles, and the gradient output blocks (indexed
-by trunk only) accumulate in place across the sequential tile iterations.
+VMEM-resident across all its tiles, and the gradient output blocks
+(indexed by trunk only) accumulate in place across the sequential tile
+iterations.
 
 Matmul precision follows JAX's TPU default (bf16 multiplies, f32
 accumulation) — the same precision the XLA conv path runs at on TPU, so
@@ -50,60 +63,66 @@ from jax.experimental.pallas import tpu as pltpu
 
 class TrunkConfig(NamedTuple):
     """Static (hashable) kernel configuration for the custom_vjp."""
-    tile_fwd: int = 64
-    tile_bwd: int = 32
+    tile_fwd: int = 128
+    tile_bwd: int = 128
     precision: str = "default"     # "default" = bf16 mult / f32 accum
     out_dtype: str = "float32"     # dtype of the (2, B, 256) trunk features
     interpret: bool = False
 
+    @property
+    def compute_dtype(self):
+        return jnp.float32 if self.precision == "float32" else jnp.bfloat16
+
 
 def _mm(a, b, precision, dims=None):
     """Matmul (or dot_general) at the configured MXU precision."""
-    if precision == "default":
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
-    else:
-        a = a.astype(jnp.float32)
-        b = b.astype(jnp.float32)
+    dt = jnp.float32 if precision == "float32" else jnp.bfloat16
+    a = a.astype(dt)
+    b = b.astype(dt)
     if dims is None:
         dims = (((a.ndim - 1,), (0,)), ((), ()))
     return jax.lax.dot_general(a, b, dimension_numbers=dims,
                                preferred_element_type=jnp.float32)
 
 
-def _conv_dims(nb: int):
-    """Spatial sizes after conv1 (k5 s2 p1) and conv2 (k3 s2 p1).
+def _pad_l1(l1: int) -> int:
+    """Conv1's spatial size rounded up to the bf16 sublane tile (16): the
+    kernels' leading-dim merges ((TB, L1, C) -> (TB*L1, C)) are legal only
+    when L1 is tile-aligned.  Padding rows are zero and sliced/zeroed out
+    of every consumer."""
+    return (l1 + 15) // 16 * 16
 
-    The even/odd reshape decomposition below needs nb % 4 == 0 (so l1 is
-    odd and the stride-2 windows align); every world satisfies it (512
-    production beams, 64 for the mini test world)."""
-    assert nb % 4 == 0, f"beam count {nb} not divisible by 4"
+
+def _im2col_patches(x, dtype):
+    """XLA-side im2col for conv1 (k5 s2 p1): (B, F, NB) -> (B, L1P, 5F).
+
+    Tap-major/channel-minor column order matches ``w1.reshape(5F, 32)``.
+    Built in HBM by XLA (one gather-shaped fusion); the kernels read it as
+    a matmul-ready operand.  Spatial axis zero-padded L1 -> L1P (_pad_l1).
+    """
+    b, f, nb = x.shape
     l1 = nb // 2 - 1
+    xt = jnp.swapaxes(x, -1, -2).astype(dtype)             # (B, NB, F)
+    xp = jnp.pad(xt, ((0, 0), (1, 1), (0, 0)))             # (B, NB+2, F)
+    cols = [xp[:, j:j + 2 * l1 - 1:2, :] for j in range(5)]
+    p1 = jnp.concatenate(cols, axis=-1)                    # (B, L1, 5F)
+    return jnp.pad(p1, ((0, 0), (0, _pad_l1(l1) - l1), (0, 0)))
+
+
+def _trunk_tile_forward(p1, w1, b1, w2, b2, wf, bf, precision, l1):
+    """One tile through one trunk; p1 (TB, L1P, 5F) conv1 patches
+    (zero-padded past the true spatial size ``l1``).
+
+    Returns the VMEM intermediates the backward reuses:
+    (conv1, c2in, conv2, flat_t, out).
+    """
+    tb, l1p, k1 = p1.shape
     l2 = (l1 + 1) // 2
-    return l1, l2
+    y1 = _mm(p1.reshape(tb * l1p, k1), w1, precision) + b1
+    conv1 = jnp.maximum(y1, 0.0).reshape(tb, l1p, 32)[:, :l1]
 
-
-def _trunk_tile_forward(x, w1, b1, w2, b2, wf, bf, precision):
-    """One tile through one trunk; x (TB, F, NB).  Returns the VMEM
-    intermediates the backward reuses: (patches, conv1, c2in, conv2, flat,
-    out)."""
-    tb, f, nb = x.shape
-    l1, l2 = _conv_dims(nb)
-    xt = jnp.transpose(x.astype(jnp.float32), (0, 2, 1))   # (TB, NB, F)
-    xp = jnp.pad(xt, ((0, 0), (1, 1), (0, 0)))             # (TB, NB+2, F)
     # Stride-2 window sampling as even/odd reshapes (no strided slices):
-    # q[l, d] = xp[2l + d], r[l, d] = xp[2l + 2 + d].
-    q = xp[:, :nb, :].reshape(tb, nb // 2, 2, f)
-    r = xp[:, 2:nb + 2, :].reshape(tb, nb // 2, 2, f)
-    patches = jnp.concatenate([
-        q[:, :l1, 0], q[:, :l1, 1],                        # xp[2l], xp[2l+1]
-        r[:, :l1, 0], r[:, :l1, 1],                        # xp[2l+2], [2l+3]
-        r[:, 1:l1 + 1, 0],                                 # xp[2l+4]
-    ], axis=-1)                                            # (TB, L1, 5F)
-    y1 = _mm(patches.reshape(tb * l1, 5 * f),
-             w1.reshape(5 * f, 32), precision) + b1
-    conv1 = jnp.maximum(y1, 0.0).reshape(tb, l1, 32)
-
+    # with yp = pad(conv1), conv2_in tap k at position l is yp[2l + k].
     yp = jnp.pad(conv1, ((0, 0), (1, 1), (0, 0)))          # (TB, L1+2, 32)
     q2 = yp[:, :l1 + 1, :].reshape(tb, l2, 2, 32)
     e2 = q2[:, :, 0]                                       # yp[2l]
@@ -116,38 +135,46 @@ def _trunk_tile_forward(x, w1, b1, w2, b2, wf, bf, precision):
           + _mm(e2s.reshape(-1, 32), w2[2], precision)) + b2
     conv2 = jnp.maximum(y2, 0.0).reshape(tb, l2, 32)
 
-    flat = conv2.reshape(tb, l2 * 32)
-    out = jnp.maximum(_mm(flat, wf, precision) + bf, 0.0)  # (TB, 256)
-    return patches, conv1, c2in, conv2, flat, out
+    # fc1 without the (illegal) (TB, L2, 32) -> (TB, L2*32) lane merge:
+    # transpose to (L2, 32, TB) and merge the LEADING dims instead — the
+    # transposed flat matrix, contracted over its big K axis.
+    flat_t = jnp.transpose(conv2, (1, 2, 0)).reshape(l2 * 32, tb)
+    y3 = _mm(flat_t, wf, precision, dims=(((0,), (0,)), ((), ()))) + bf
+    out = jnp.maximum(y3, 0.0)                             # (TB, 256)
+    return conv1, c2in, conv2, flat_t, out
 
 
-def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, wf_ref, bf_ref,
-                out_ref, *, precision, out_dtype):
+def _fwd_kernel(p1_ref, w1_ref, b1_ref, w2_ref, b2_ref, wf_ref, bf_ref,
+                out_ref, *, precision, out_dtype, l1):
     *_, out = _trunk_tile_forward(
-        x_ref[...], w1_ref[0], b1_ref[0, 0], w2_ref[0], b2_ref[0, 0],
-        wf_ref[0], bf_ref[0, 0], precision)
+        p1_ref[...], w1_ref[0], b1_ref[0, 0], w2_ref[0], b2_ref[0, 0],
+        wf_ref[0], bf_ref[0, 0], precision, l1)
     out_ref[0] = out.astype(out_dtype)
 
 
-def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, wf_ref, bf_ref,
-                dw1_ref, db1_ref, dw2_ref, db2_ref, dwf_ref, dbf_ref, *,
-                precision):
-    tb, _, nb = x_ref.shape
-    l1, l2 = _conv_dims(nb)
+def _bwd_kernel(p1_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, wf_ref,
+                bf_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dwf_ref,
+                dbf_ref, *, precision, l1):
+    tb, l1p, k1 = p1_ref.shape
+    l2 = (l1 + 1) // 2
     w2 = w2_ref[0]
-    patches, conv1, (e2, o2, e2s), conv2, flat, out = _trunk_tile_forward(
-        x_ref[...], w1_ref[0], b1_ref[0, 0], w2, b2_ref[0, 0], wf_ref[0],
-        bf_ref[0, 0], precision)
+    p1 = p1_ref[...]
+    conv1, (e2, o2, e2s), conv2, flat_t, out = _trunk_tile_forward(
+        p1, w1_ref[0], b1_ref[0, 0], w2, b2_ref[0, 0], wf_ref[0],
+        bf_ref[0, 0], precision, l1)
 
     rows = (((0,), (0,)), ((), ()))          # contract the sample axis
-    cols = (((1,), (1,)), ((), ()))          # g @ W^T without materializing
+    gw = (((1,), (1,)), ((), ()))            # g @ W^T without materializing
 
     g1 = g_ref[0].astype(jnp.float32) * (out > 0.0)        # (TB, 256)
-    dwf = _mm(flat, g1, precision, dims=rows)              # (4096, 256)
+    dwf = _mm(flat_t, g1, precision,
+              dims=(((1,), (0,)), ((), ())))               # (4096, 256)
     dbf = jnp.sum(g1, axis=0)
 
-    dflat = _mm(g1, wf_ref[0], precision, dims=cols)       # (TB, 32*L2)
-    g2 = dflat.reshape(tb, l2, 32) * (conv2 > 0.0)
+    # dflat_t = wf @ g1^T, then un-transpose back to sample-major
+    dflat_t = _mm(wf_ref[0], g1, precision, dims=gw)       # (4096, TB)
+    dconv2 = jnp.transpose(dflat_t.reshape(l2, 32, tb), (2, 0, 1))
+    g2 = dconv2 * (conv2 > 0.0)                            # (TB, L2, 32)
     g2f = g2.reshape(-1, 32)
     dw2 = jnp.stack([_mm(c.reshape(-1, 32), g2f, precision, dims=rows)
                      for c in (e2, o2, e2s)])              # (3, 32, 32)
@@ -157,23 +184,24 @@ def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, wf_ref, bf_ref,
     # conv1 grid.  With t_k = g2 @ W2[k]^T, position 2m of conv1 receives
     # t_1[m]; position 2m+1 receives t_0[m+1] + t_2[m] (the left/right
     # paddings fall off the ends).  Interleave even/odd and trim.
-    t0 = _mm(g2f, w2[0], precision, dims=cols).reshape(tb, l2, 32)
-    t1 = _mm(g2f, w2[1], precision, dims=cols).reshape(tb, l2, 32)
-    t2 = _mm(g2f, w2[2], precision, dims=cols).reshape(tb, l2, 32)
+    t0 = _mm(g2f, w2[0], precision, dims=gw).reshape(tb, l2, 32)
+    t1 = _mm(g2f, w2[1], precision, dims=gw).reshape(tb, l2, 32)
+    t2 = _mm(g2f, w2[2], precision, dims=gw).reshape(tb, l2, 32)
     d_odd = jnp.concatenate([t0[:, 1:], jnp.zeros_like(t0[:, :1])],
                             axis=1) + t2
     dconv1 = jnp.stack([t1, d_odd], axis=2).reshape(tb, 2 * l2, 32)[:, :l1]
     g3 = dconv1 * (conv1 > 0.0)                            # (TB, L1, 32)
 
-    kf = patches.shape[-1]
-    dw1 = _mm(patches.reshape(-1, kf), g3.reshape(-1, 32), precision,
+    # zero-pad g3 back to L1P so the sample-axis contraction against the
+    # padded patch matrix is tile-aligned (pad rows contribute nothing)
+    g3p = jnp.pad(g3, ((0, 0), (0, l1p - l1), (0, 0)))
+    dw1 = _mm(p1.reshape(tb * l1p, k1), g3p.reshape(-1, 32), precision,
               dims=rows)                                   # (5F, 32)
     db1 = jnp.sum(g3, axis=(0, 1))
 
     i = pl.program_id(1)
-    contribs = ((dw1_ref, dw1.reshape(dw1_ref.shape[1:])),
-                (db1_ref, db1[None]), (dw2_ref, dw2), (db2_ref, db2[None]),
-                (dwf_ref, dwf), (dbf_ref, dbf[None]))
+    contribs = ((dw1_ref, dw1), (db1_ref, db1[None]), (dw2_ref, dw2),
+                (db2_ref, db2[None]), (dwf_ref, dwf), (dbf_ref, dbf[None]))
 
     @pl.when(i == 0)
     def _():
@@ -197,100 +225,137 @@ def _pad_rows(x, tile, axis=0):
     return jnp.pad(x, width), b
 
 
-def _weight_specs(f, flatdim):
-    # Biases travel as (2, 1, X): Mosaic requires the block's second-to-last
-    # dim be 8-divisible or equal to the array's, which a (1, X) block of a
-    # (2, X) array violates — the singleton axis sidesteps it.
-    full = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda t, i: (t,) + (0,) * len(shape),
-        memory_space=pltpu.VMEM)
-    return [full(5, f, 32), full(1, 32), full(3, 32, 32), full(1, 32),
-            full(flatdim, 256), full(1, 256)]
-
-
 _WEIGHT_KEYS = ("w1", "b1", "w2", "b2", "wf", "bf")
 _BIAS_KEYS = ("b1", "b2", "bf")
 
 
-def _weight_args(stacked):
-    return [stacked[k][:, None] if k in _BIAS_KEYS else stacked[k]
-            for k in _WEIGHT_KEYS]
+def _weight_specs(k1, flatdim):
+    # Biases travel as (2, 1, X): Mosaic requires the block's second-to-last
+    # dim be 8-divisible or equal to the array's, which a (1, X) block of a
+    # (2, X) array violates — the singleton axis sidesteps it.  w1 travels
+    # flattened to (2, 5F, 32) to match the patch-matrix contraction.
+    full = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda t, i: (t,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    return [full(k1, 32), full(1, 32), full(3, 32, 32), full(1, 32),
+            full(flatdim, 256), full(1, 256)]
 
 
-def _fwd_call(stacked, x, cfg: TrunkConfig):
-    xp, b = _pad_rows(x, cfg.tile_fwd)
-    bp, f, nb = xp.shape
-    _, l2 = _conv_dims(nb)
-    assert stacked["wf"].shape[1] == 32 * l2, \
-        "fc1 weight does not match the conv output for this beam count"
+def _weight_args(stacked, dtype):
+    args = []
+    for k in _WEIGHT_KEYS:
+        v = stacked[k]
+        if k in _BIAS_KEYS:
+            v = v[:, None]                   # biases stay f32 (added post-mm)
+        elif k == "w1":
+            v = v.reshape(2, -1, 32).astype(dtype)
+        else:
+            v = v.astype(dtype)
+        args.append(v)
+    return args
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=100 * 2**20)
+
+
+def _trunk_dims(stacked):
+    l2 = stacked["wf"].shape[1] // 32
+    return 2 * l2 - 1, l2
+
+
+def _fwd_call(stacked, p1, cfg: TrunkConfig):
+    p1p, b = _pad_rows(p1, cfg.tile_fwd)
+    bp, l1p, k1 = p1p.shape
+    l1, l2 = _trunk_dims(stacked)
+    assert l1p == _pad_l1(l1), \
+        "patch matrix does not match the fc1 weight's conv output size"
     nt = bp // cfg.tile_fwd
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, precision=cfg.precision,
-                          out_dtype=jnp.dtype(cfg.out_dtype)),
+                          out_dtype=jnp.dtype(cfg.out_dtype), l1=l1),
         grid=(2, nt),
-        in_specs=[pl.BlockSpec((cfg.tile_fwd, f, nb), lambda t, i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((cfg.tile_fwd, l1p, k1),
+                               lambda t, i: (i, 0, 0),
                                memory_space=pltpu.VMEM)]
-        + _weight_specs(f, 32 * l2),
+        + _weight_specs(k1, 32 * l2),
         out_specs=pl.BlockSpec((1, cfg.tile_fwd, 256),
                                lambda t, i: (t, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, bp, 256), jnp.dtype(cfg.out_dtype)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        compiler_params=_compiler_params(),
         interpret=cfg.interpret,
-    )(xp, *_weight_args(stacked))
+    )(p1p, *_weight_args(stacked, cfg.compute_dtype))
     return out[:, :b]
 
 
-def _bwd_call(stacked, x, g, cfg: TrunkConfig):
-    xp, b = _pad_rows(x, cfg.tile_bwd)
-    bp, f, nb = xp.shape
-    _, l2 = _conv_dims(nb)
-    gp, _ = _pad_rows(g, cfg.tile_bwd, axis=1)   # pad the sample axis;
-    # padded rows carry g = 0, so they contribute nothing to any dW/db
+def _bwd_call(stacked, p1, g, cfg: TrunkConfig):
+    p1p, b = _pad_rows(p1, cfg.tile_bwd)
+    bp, l1p, k1 = p1p.shape
+    l1, l2 = _trunk_dims(stacked)
+    gp, _ = _pad_rows(g, cfg.tile_bwd, axis=1)   # padded rows carry g = 0,
+    # so they contribute nothing to any dW/db
     nt = bp // cfg.tile_bwd
-    grad_shapes = [jax.ShapeDtypeStruct(
-        (2, 1) + stacked[k].shape[1:] if k in _BIAS_KEYS
-        else (2,) + stacked[k].shape[1:], jnp.float32)
-        for k in _WEIGHT_KEYS]
+
+    def gshape(k):
+        if k in _BIAS_KEYS:
+            return (2, 1) + stacked[k].shape[1:]
+        if k == "w1":
+            return (2, k1, 32)
+        return (2,) + stacked[k].shape[1:]
+
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, precision=cfg.precision),
+        functools.partial(_bwd_kernel, precision=cfg.precision, l1=l1),
         grid=(2, nt),
         in_specs=[
-            pl.BlockSpec((cfg.tile_bwd, f, nb), lambda t, i: (i, 0, 0),
+            pl.BlockSpec((cfg.tile_bwd, l1p, k1), lambda t, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cfg.tile_bwd, 256), lambda t, i: (t, i, 0),
                          memory_space=pltpu.VMEM),
-        ] + _weight_specs(f, 32 * l2),
-        out_specs=_weight_specs(f, 32 * l2),
-        out_shape=grad_shapes,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        ] + _weight_specs(k1, 32 * l2),
+        out_specs=_weight_specs(k1, 32 * l2),
+        out_shape=[jax.ShapeDtypeStruct(gshape(k), jnp.float32)
+                   for k in _WEIGHT_KEYS],
+        compiler_params=_compiler_params(),
         interpret=cfg.interpret,
-    )(xp, gp, *_weight_args(stacked))
-    return {k: (g[:, 0] if k in _BIAS_KEYS else g)
-            for k, g in zip(_WEIGHT_KEYS, grads)}
+    )(p1p, gp, *_weight_args(stacked, cfg.compute_dtype))
+    out = {}
+    for k, g_ in zip(_WEIGHT_KEYS, grads):
+        if k in _BIAS_KEYS:
+            g_ = g_[:, 0]
+        elif k == "w1":
+            g_ = g_.reshape(stacked[k].shape)
+        out[k] = g_
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def fused_trunks(stacked, x, cfg: TrunkConfig):
-    """Both trunk feature extractors: (B, F, 512) -> (2, B, 256).
+    """Both trunk feature extractors: (B, F, NB) -> (2, B, 256).
 
     ``stacked``: dict of per-trunk-stacked parameters (see
     :func:`stack_trunk_params`).  Differentiable in ``stacked`` only; the
     cotangent of ``x`` is a zeros placeholder (DCE'd when unused — the
     observation is data in every PPO loss).
     """
-    return _fwd_call(stacked, x, cfg)
+    p1 = _im2col_patches(x, cfg.compute_dtype)
+    return _fwd_call(stacked, p1, cfg)
 
 
 def _fused_fwd(stacked, x, cfg):
-    return _fwd_call(stacked, x, cfg), (stacked, x)
+    p1 = _im2col_patches(x, cfg.compute_dtype)
+    token = jnp.zeros((0,), x.dtype)     # carries x's dtype for the zeros
+    return _fwd_call(stacked, p1, cfg), (stacked, p1, token)
 
 
 def _fused_bwd(cfg, res, g):
-    stacked, x = res
-    return _bwd_call(stacked, x, g, cfg), jnp.zeros_like(x)
+    stacked, p1, token = res
+    l1, _ = _trunk_dims(stacked)
+    x_shape = (p1.shape[0], p1.shape[2] // 5, 2 * l1 + 2)
+    return (_bwd_call(stacked, p1, g, cfg),
+            jnp.zeros(x_shape, token.dtype))
 
 
 fused_trunks.defvjp(_fused_fwd, _fused_bwd)
@@ -310,7 +375,7 @@ def stack_trunk_params(p):
 
 
 def cnn_pallas_apply(params, scans, goal, speed, dtype=jnp.float32,
-                     tile_fwd: int = 64, tile_bwd: int = 32,
+                     tile_fwd: int = 128, tile_bwd: int = 128,
                      precision: str = "default", interpret: bool | None = None):
     """`CNNPolicy.apply` with the twin trunks fused into Pallas kernels.
 

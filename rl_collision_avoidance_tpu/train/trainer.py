@@ -276,24 +276,40 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train(self, state: TrainState | None = None, updates: int | None = None,
-              log_fn=None, checkpoint_manager=None, checkpoint_every: int = 20):
+              log_fn=None, checkpoint_manager=None, checkpoint_every: int = 20,
+              profile_dir: str | None = None, profile_updates: int = 3):
         """Host loop: n updates of the jitted step + logging/checkpointing.
 
         Checkpoint cadence matches the reference (every 20 updates,
         ``ppo_stage1.py:122-126``) but saves the *full* train state
         (params + optimizer + env + RNG) for exact resume.
+
+        ``profile_dir``: capture a device trace (XProf/TensorBoard) of
+        ``profile_updates`` post-warmup updates — updates 2..2+n, so the
+        trace excludes compilation (utils/profiling.trace).
         """
+        from ..utils.profiling import StepTimer, trace
+
         if state is None:
             state = self.init_state()
         n = updates if updates is not None else self.cfg.max_updates
-        for _ in range(n):
-            t0 = time.perf_counter()
+        timer = StepTimer()
+        profiling = None
+        for i in range(n):
+            if profile_dir is not None and i == min(1, n - 1):
+                profiling = trace(profile_dir)
+                profiling.__enter__()
+            timer.start()
             state, metrics = self._step_fn(state)
             metrics = jax.device_get(metrics)
-            dt = time.perf_counter() - t0
+            rate = timer.stop(int(metrics["env_steps"]))
             update = int(jax.device_get(state.update))
             metrics["update"] = update
-            metrics["steps_per_s"] = float(metrics["env_steps"]) / dt
+            metrics["steps_per_s"] = rate
+            metrics["steps_per_s_ema"] = timer.ema
+            if profiling is not None and i == min(1, n - 1) + profile_updates - 1:
+                profiling.__exit__(None, None, None)
+                profiling = None
             if log_fn is not None:
                 log_fn(metrics)
             if checkpoint_manager is not None and update % checkpoint_every == 0:
@@ -301,4 +317,6 @@ class Trainer:
                 ep = max(float(metrics.get("episodes", 0)), 1.0)
                 checkpoint_manager.save_best(
                     update, state, float(metrics.get("reached", 0)) / ep)
+        if profiling is not None:
+            profiling.__exit__(None, None, None)
         return state

@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rl_collision_avoidance_tpu.engine import make_env, culling
+from rl_collision_avoidance_tpu.engine import make_env
+import culling_ref as culling
 from rl_collision_avoidance_tpu.engine.celltable import (build_cell_table,
                                                          lookup_cells)
 from rl_collision_avoidance_tpu.worlds import circle, mini, stage1, stage2
