@@ -185,8 +185,15 @@ def main(argv=None):
     # the axon tunnel, docs/PERF.md) — ~0.025 ms/step at 1024.
     p.add_argument("--inner-steps", type=int, default=1024)
     p.add_argument("--repeats", type=int, default=5)
-    p.add_argument("--bf16", action="store_true",
-                   help="bfloat16 policy instead of the f32 parity default")
+    p.add_argument("--bf16", action="store_true", default=None,
+                   help="bfloat16 policy activations (+ the obs store via "
+                        "--obs-bf16).  For the ACTING bench this is the "
+                        "DEFAULT (the validated fast mode, README); pass "
+                        "--f32 for the exact-parity configuration.  For "
+                        "--train the default stays f32 (the parity curves' "
+                        "configuration).")
+    p.add_argument("--f32", action="store_true",
+                   help="force the f32 parity configuration")
     p.add_argument("--lidar", choices=["xla", "pallas", "dense"], default=None,
                    help="lidar backend (default: engine's platform default)")
     p.add_argument("--disc-cull", type=int, default=None, metavar="K",
@@ -231,14 +238,15 @@ def main(argv=None):
     platform = jax.devices()[0].platform
     if args.train:
         n_arenas = args.arenas or (32 if platform != "cpu" else 2)
-        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        use_bf16 = bool(args.bf16) and not args.f32
+        dtype = jnp.bfloat16 if use_bf16 else jnp.float32
         steps_per_s = measure_training(
             n_arenas, updates=args.repeats, policy_dtype=dtype,
             obs_store_dtype=jnp.bfloat16 if args.obs_bf16 else None,
             apply_impl=args.apply_impl)
         print(json.dumps({
             "metric": "stage1_training_steps_per_s"
-                      + ("_bf16" if args.bf16 else ""),
+                      + ("_bf16" if use_bf16 else ""),
             "value": round(steps_per_s, 1),
             "unit": "robot-steps/s",
             "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
@@ -246,14 +254,20 @@ def main(argv=None):
         return
 
     n_arenas = args.arenas or (128 if platform != "cpu" else 8)
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    # Acting headline default: the validated bf16 fast mode (activations +
+    # obs store; README "Mixed-precision training", same plateau as f32).
+    # --f32 selects the exact-parity configuration the r2-r4 headline used.
+    use_bf16 = not args.f32 if args.bf16 is None else (args.bf16
+                                                       and not args.f32)
+    obs_bf16 = (args.obs_bf16 or args.bf16 is None) and not args.f32
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     steps_per_s = None
     while n_arenas >= 1:
         try:
             steps_per_s = measure(n_arenas, args.inner_steps, args.repeats,
                                   dtype, args.lidar,
                                   disc_cull_k=args.disc_cull,
-                                  obs_dtype=(jnp.bfloat16 if args.obs_bf16
+                                  obs_dtype=(jnp.bfloat16 if obs_bf16
                                              else None),
                                   footprint=args.footprint)
             break
@@ -277,6 +291,7 @@ def main(argv=None):
         "value": round(steps_per_s, 1),
         "unit": "robot-steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
+        "mode": "bf16" if use_bf16 else "f32_parity",
     }))
 
 

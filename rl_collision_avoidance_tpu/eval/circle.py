@@ -73,15 +73,18 @@ _ENV_CACHE: dict = {}
 
 def run_circle_eval(params, model: CNNPolicy | None = None, spec=None,
                     max_steps: int = 2000, seed: int = 0, n_arenas: int = 1,
-                    pose_noise: float = 0.0) -> dict:
+                    pose_noise: float = 0.0,
+                    env_kwargs: dict | None = None) -> dict:
     """Success rate, collision count, mean (extra) travel time.
 
     With ``n_arenas > 1`` and ``pose_noise > 0`` the scenario is replicated
     with jittered initial positions (arena 0 unperturbed) and the metrics
-    gain mean±std across arenas.
+    gain mean±std across arenas.  ``env_kwargs`` forwards to :class:`Env`
+    (e.g. ``{"disc_cull_k": 12}`` for the culled rect path).
     """
     model = model or CNNPolicy()
     spec = spec or circle_world()
+    env_kwargs = env_kwargs or {}
     # The jitted _run is keyed on the (static) env instance: reuse one per
     # world so repeated evals (e.g. checkpoint selection during stage-2
     # training) hit the jit cache instead of recompiling.  Key by a digest
@@ -101,10 +104,11 @@ def run_circle_eval(params, model: CNNPolicy | None = None, spec=None,
                 h.update(a.tobytes())
         return h.hexdigest()[:16]
 
-    cache_key = (spec.name, spec.n_robots,
+    cache_key = (spec.name, spec.n_robots, spec.footprint,
+                 tuple(sorted(env_kwargs.items())),
                  _digest(spec.seg_p, spec.seg_e, spec.seg_valid,
                          spec.init_pose_table, spec.goal_table))
-    env = _ENV_CACHE.setdefault(cache_key, Env(spec))
+    env = _ENV_CACHE.setdefault(cache_key, Env(spec, **env_kwargs))
     keys = jax.random.split(jax.random.PRNGKey(seed), n_arenas)
     done_step, first_result, start_dist = jax.device_get(
         _run(params, model, env, max_steps, keys, float(pose_noise)))
