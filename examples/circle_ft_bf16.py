@@ -38,18 +38,25 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--updates", type=int, default=2000)
     p.add_argument("--select-every", type=int, default=50)
+    p.add_argument("--f32-obs", action="store_true",
+                   help="keep the scan history in f32 (bf16 activations "
+                        "only) — isolates whether the bf16 obs "
+                        "quantization (~1.2 cm at 6 m) is what breaks the "
+                        "deterministic sub-centimeter symmetry-breaking")
     args = p.parse_args()
     enable_compilation_cache()
 
-    cfg = TrainConfig.circle_ft(n_arenas=16, policy_dtype=jnp.bfloat16,
-                                obs_store_dtype=jnp.bfloat16)
+    cfg = TrainConfig.circle_ft(
+        n_arenas=16, policy_dtype=jnp.bfloat16,
+        obs_store_dtype=None if args.f32_obs else jnp.bfloat16)
+    suffix = "_f32obs" if args.f32_obs else ""
     tr = Trainer(cfg)
     state = tr.init_state()
     tmpl = jax.device_get(state.params)
     state = tr.shard_state(state.replace(params=load_params_npz(
         os.path.join(RESULTS, "stage2_params.npz"), tmpl)))
 
-    log_dir = os.path.join(RESULTS, "log_circle_ft_bf16")
+    log_dir = os.path.join(RESULTS, "log_circle_ft_bf16" + suffix)
     shutil.rmtree(log_dir, ignore_errors=True)
     logger = MetricLogger(log_dir)
     model = CNNPolicy()
@@ -67,19 +74,20 @@ def main():
         if score > best_score:
             best_score, best_params = score, params
 
-    save_params_npz(os.path.join(RESULTS, "circle_ft_bf16_params.npz"),
+    save_params_npz(os.path.join(RESULTS, f"circle_ft_bf16{suffix}_params.npz"),
                     best_params)
     shutil.copy(os.path.join(log_dir, "metrics.csv"),
-                os.path.join(RESULTS, "circle_ft_bf16_metrics.csv"))
+                os.path.join(RESULTS, f"circle_ft_bf16{suffix}_metrics.csv"))
     out = {
-        "note": ("circle_ft re-trained in bf16 mixed precision "
-                 "(--bf16 --obs-bf16 equivalent); compare "
-                 "results/circle_eval.json (f32 run)"),
+        "note": ("circle_ft re-trained in bf16 mixed precision ("
+                 + ("bf16 activations, f32 obs storage" if args.f32_obs
+                    else "--bf16 --obs-bf16 equivalent")
+                 + "); compare results/circle_eval.json (f32 run)"),
         "deterministic": run_circle_eval(best_params, model, max_steps=3000),
         "jitter_0.3m": run_circle_eval(best_params, model, max_steps=3000,
                                        n_arenas=32, pose_noise=0.3),
     }
-    with open(os.path.join(RESULTS, "circle_ft_bf16_eval.json"), "w") as f:
+    with open(os.path.join(RESULTS, f"circle_ft_bf16{suffix}_eval.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
