@@ -147,6 +147,7 @@ def plot_curves():
                          ("stage1_bf16", "tab:purple"),
                          ("stage1_refcfg", "tab:cyan"),
                          ("stage2", "tab:orange"),
+                         ("stage2_refcfg", "tab:red"),
                          ("circle_ft", "tab:green")):
         path = os.path.join(RESULTS, f"{stage}_metrics.csv")
         if not os.path.exists(path):
