@@ -182,8 +182,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--arenas", type=int, default=None)
     # Long inner scans amortize the fixed per-dispatch cost (~26 ms through
-    # the axon tunnel, docs/PERF.md) — ~0.025 ms/step at 1024.
-    p.add_argument("--inner-steps", type=int, default=1024)
+    # the axon tunnel, docs/PERF.md) — ~0.013 ms/step at 2048 (measured +2%
+    # headline over 1024).
+    p.add_argument("--inner-steps", type=int, default=2048)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--bf16", action="store_true", default=None,
                    help="bfloat16 policy activations (+ the obs store via "
