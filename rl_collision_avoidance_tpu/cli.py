@@ -169,6 +169,10 @@ def main_circle(argv=None):
     p.add_argument("--pose-noise", type=float, default=0.0,
                    help="uniform per-robot initial-pose jitter in meters "
                         "(arena 0 always stays the exact reference scenario)")
+    p.add_argument("--footprint", choices=["disc", "rect"], default="disc",
+                   help="robot footprint: disc (parity default) or rect = "
+                        "Stage's exact 0.44 x 0.38 box for collision AND "
+                        "lidar silhouettes (results/circle_eval_rect.json)")
     args = p.parse_args(argv)
 
     from .eval.circle import run_circle_eval
@@ -192,7 +196,14 @@ def main_circle(argv=None):
               file=sys.stderr)
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 512)),
                             jnp.zeros((1, 2)), jnp.zeros((1, 2)))
-    print(json.dumps(run_circle_eval(params, model, max_steps=args.max_steps,
+    spec = None
+    if args.footprint == "rect":
+        import dataclasses
+
+        from .worlds import circle as circle_world
+        spec = dataclasses.replace(circle_world(), footprint="rect")
+    print(json.dumps(run_circle_eval(params, model, spec=spec,
+                                     max_steps=args.max_steps,
                                      seed=args.seed, n_arenas=args.arenas,
                                      pose_noise=args.pose_noise)))
 

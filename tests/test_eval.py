@@ -103,3 +103,22 @@ def test_circle_cli_accepts_npz_params(tmp_path, capsys):
     cli.main_circle(["--params", path, "--max-steps", "2"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_robots"] == 50
+
+
+def test_circle_cli_rect_footprint(tmp_path, capsys):
+    """rca-circle-test --footprint rect runs the full Stage box fidelity
+    (the committed results/circle_eval_rect.json surface)."""
+    import json
+
+    from rl_collision_avoidance_tpu import cli
+    from rl_collision_avoidance_tpu.utils.checkpoint import save_params_npz
+
+    model = CNNPolicy()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 512)),
+                        jnp.zeros((1, 2)), jnp.zeros((1, 2)))
+    path = str(tmp_path / "p.npz")
+    save_params_npz(path, params)
+    cli.main_circle(["--params", path, "--max-steps", "2",
+                     "--footprint", "rect"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_robots"] == 50
