@@ -375,6 +375,18 @@ def mini(n_robots: int = 4, n_beams: int = 64) -> WorldSpec:
     )
 
 
+def stage1_rect() -> WorldSpec:
+    """Stage 1 under the FULL Stage footprint: the 0.44 x 0.38 m oriented
+    box (`worlds/stage1.world:83`) for both collision and lidar
+    silhouettes, instead of the disc approximation.  Same geometry,
+    scenario, and reward as :func:`stage1`."""
+    import dataclasses
+
+    return dataclasses.replace(stage1(), name="stage1_rect",
+                               footprint="rect")
+
+
 def get_world(name: str) -> WorldSpec:
     return {"stage1": stage1, "stage2": stage2, "circle": circle,
-            "circle_train": circle_train, "mini": mini}[name]()
+            "circle_train": circle_train, "mini": mini,
+            "stage1_rect": stage1_rect}[name]()

@@ -90,3 +90,17 @@ def test_circle_train_world():
     np.testing.assert_array_equal(spec.init_pose_table, ref.init_pose_table)
     np.testing.assert_array_equal(spec.goal_table, ref.goal_table)
     assert np.all(spec.group_id == 0)  # one group: all-done -> ring reset
+
+
+def test_stage1_rect_world():
+    """stage1_rect = stage1 geometry/scenario with the full Stage box
+    footprint (collision + silhouettes) — the at-scale rect training
+    world (results/stage1_rect_metrics.csv)."""
+    from rl_collision_avoidance_tpu.worlds import get_world
+
+    disc = get_world("stage1")
+    rect = get_world("stage1_rect")
+    assert rect.footprint == "rect" and disc.footprint == "disc"
+    assert rect.n_robots == disc.n_robots
+    np.testing.assert_array_equal(np.asarray(rect.seg_p),
+                                  np.asarray(disc.seg_p))
