@@ -145,6 +145,7 @@ def plot_curves():
     # at ~1.5x the wall-clock rate (VERDICT r4 missing #1).
     for stage, color in (("stage1", "tab:blue"),
                          ("stage1_bf16", "tab:purple"),
+                         ("stage1_rect", "tab:brown"),
                          ("stage1_refcfg", "tab:cyan"),
                          ("stage2", "tab:orange"),
                          ("stage2_refcfg", "tab:red"),
